@@ -1,0 +1,423 @@
+"""Geometry kernels G1-G13 (SURVEY.md §2.6), numpy over the Geom model.
+
+Each kernel cites the reference behavior it re-expresses. These run
+inside Arrow-batched pandas UDFs; none is called per row from Spark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fgcspark.geom.wkt import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geom,
+)
+
+_KNOWN_FAMILY = {
+    POINT: POINT,
+    MULTIPOINT: POINT,
+    LINESTRING: LINESTRING,
+    MULTILINESTRING: LINESTRING,
+    POLYGON: POLYGON,
+    MULTIPOLYGON: POLYGON,
+}
+_MULTI_OF = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING, POLYGON: MULTIPOLYGON}
+
+
+def transform_coords(g: Geom, fn) -> Geom:
+    """Apply fn(xs, ys) -> (xs, ys) to every coordinate (CRS transforms,
+    reference R/finbif_geo_convert.R:326-336)."""
+
+    def _arr(a: np.ndarray) -> np.ndarray:
+        if a.size == 0:
+            return a
+        x, y = fn(a[..., 0], a[..., 1])
+        return np.stack([np.asarray(x), np.asarray(y)], axis=-1)
+
+    def _walk(t: str, c):
+        if c is None:
+            return None
+        if t == GEOMETRYCOLLECTION:
+            return [transform_coords(m, fn) for m in c]
+        if isinstance(c, np.ndarray):
+            if t == POINT:
+                x, y = fn(c[0], c[1])
+                return np.array([float(x), float(y)])
+            return _arr(c)
+        return [_walk("_inner", r) if isinstance(r, np.ndarray) else [_arr(q) for q in r] for r in c]
+
+    return Geom(g.gtype, _walk(g.gtype, g.coords))
+
+
+def _rings_of(g: Geom) -> list[np.ndarray]:
+    """All coordinate arrays of a geometry, flattened one level."""
+    t, c = g.gtype, g.coords
+    if c is None:
+        return []
+    if isinstance(c, np.ndarray):
+        return [c.reshape(-1, 2)]
+    if t == GEOMETRYCOLLECTION:
+        out = []
+        for m in c:
+            out.extend(_rings_of(m))
+        return out
+    out = []
+    for r in c:
+        if isinstance(r, np.ndarray):
+            out.append(r)
+        else:
+            out.extend(r)
+    return out
+
+
+def geom_type(g: Geom) -> str:
+    """G13 — reference R/finbif_geo_convert.R:547-551."""
+    return g.gtype
+
+
+def bbox(g: Geom):
+    """G12 prerequisite: (xmin, ymin, xmax, ymax) or None if empty
+    (reference R/finbif_geo_convert.R:303-322)."""
+    rings = [r for r in _rings_of(g) if r.size]
+    if not rings:
+        return None
+    allc = np.concatenate(rings, axis=0)
+    return (
+        float(allc[:, 0].min()),
+        float(allc[:, 1].min()),
+        float(allc[:, 0].max()),
+        float(allc[:, 1].max()),
+    )
+
+
+def bbox_polygon(g: Geom) -> Geom:
+    """G12: bbox -> 5-point corner polygon; empty -> POLYGON EMPTY
+    (reference R/finbif_geo_convert.R:303-322). Degenerate (point)
+    bboxes yield degenerate polygons, matching the reference quirk for
+    unbuffered single-coordinate MULTIPOINTs (SURVEY §2.6 G12)."""
+    b = bbox(g)
+    if b is None:
+        return Geom(POLYGON, [])
+    xmin, ymin, xmax, ymax = b
+    ring = np.array(
+        [[xmin, ymin], [xmin, ymax], [xmax, ymax], [xmax, ymin], [xmin, ymin]]
+    )
+    return Geom(POLYGON, [ring])
+
+
+def _ring_area2_cx_cy(r: np.ndarray):
+    """(2*signed_area, centroid numerators) of one ring (open or closed)."""
+    x, y = r[:, 0], r[:, 1]
+    if x[0] != x[-1] or y[0] != y[-1]:
+        x = np.append(x, x[0])
+        y = np.append(y, y[0])
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    a2 = cross.sum()
+    cx = ((x[:-1] + x[1:]) * cross).sum()
+    cy = ((y[:-1] + y[1:]) * cross).sum()
+    return a2, cx, cy
+
+
+def centroid(g: Geom):
+    """G3/A3: GEOS-semantics centroid — highest dimension present wins;
+    polygons area-weighted (holes = opposite ring orientation), lines
+    length-weighted, points averaged (reference
+    R/finbif_geo_convert.R:555-561 delegates to st_centroid).
+    Returns (x, y) or None for empty."""
+    if g.is_empty:
+        return None
+    t = g.gtype
+    if t == GEOMETRYCOLLECTION:
+        dims = {_dim(m.gtype) for m in g.coords if not m.is_empty}
+        if not dims:
+            return None
+        top = max(dims)
+        pieces = [m for m in g.coords if not m.is_empty and _dim(m.gtype) == top]
+        wsum, cx, cy = 0.0, 0.0, 0.0
+        for m in pieces:
+            c = centroid(m)
+            w = _measure(m)
+            if c is None:
+                continue
+            wsum += w
+            cx += c[0] * w
+            cy += c[1] * w
+        if wsum == 0.0:  # degenerate: fall back to vertex mean
+            allc = np.concatenate([r for r in _rings_of(g) if r.size])
+            return float(allc[:, 0].mean()), float(allc[:, 1].mean())
+        return cx / wsum, cy / wsum
+    if t == POINT:
+        return float(g.coords[0]), float(g.coords[1])
+    if t == MULTIPOINT:
+        return float(g.coords[:, 0].mean()), float(g.coords[:, 1].mean())
+    if t in (LINESTRING, MULTILINESTRING):
+        lines = [g.coords] if t == LINESTRING else list(g.coords)
+        num = np.zeros(2)
+        den = 0.0
+        for ln in lines:
+            seg = np.diff(ln, axis=0)
+            w = np.hypot(seg[:, 0], seg[:, 1])
+            mid = (ln[:-1] + ln[1:]) / 2.0
+            num += (mid * w[:, None]).sum(axis=0)
+            den += w.sum()
+        if den == 0.0:
+            allc = np.concatenate(lines)
+            return float(allc[:, 0].mean()), float(allc[:, 1].mean())
+        return float(num[0] / den), float(num[1] / den)
+    # polygonal
+    polys = [g.coords] if t == POLYGON else list(g.coords)
+    a2s, cxs, cys = 0.0, 0.0, 0.0
+    for rings in polys:
+        for ring in rings:
+            a2, cx, cy = _ring_area2_cx_cy(ring)
+            a2s += a2
+            cxs += cx
+            cys += cy
+    if a2s == 0.0:
+        allc = np.concatenate([r for r in _rings_of(g) if r.size])
+        return float(allc[:, 0].mean()), float(allc[:, 1].mean())
+    return float(cxs / (3.0 * a2s)), float(cys / (3.0 * a2s))
+
+
+def _dim(t: str) -> int:
+    fam = _KNOWN_FAMILY.get(t, POLYGON)
+    return {POINT: 0, LINESTRING: 1, POLYGON: 2}[fam]
+
+
+def _measure(g: Geom) -> float:
+    t = g.gtype
+    if t == POINT:
+        return 1.0
+    if t == MULTIPOINT:
+        return float(len(g.coords))
+    if t in (LINESTRING, MULTILINESTRING):
+        lines = [g.coords] if t == LINESTRING else list(g.coords)
+        return float(sum(np.hypot(*np.diff(ln, axis=0).T).sum() for ln in lines))
+    polys = [g.coords] if t == POLYGON else list(g.coords)
+    tot = 0.0
+    for rings in polys:
+        for ring in rings:
+            a2, _, _ = _ring_area2_cx_cy(ring)
+            tot += a2 / 2.0
+    return abs(tot)
+
+
+def cast_to_multi(g: Geom) -> Geom:
+    """G8 — reference R/finbif_geo_convert.R:489-501: wrap any non-MULTI
+    geometry to its MULTI twin; MULTI*/GC unchanged."""
+    t = g.gtype
+    if t == POINT:
+        if g.coords is None:
+            return Geom(MULTIPOINT, np.empty((0, 2)))
+        return Geom(MULTIPOINT, g.coords.reshape(1, 2))
+    if t == LINESTRING:
+        return Geom(MULTILINESTRING, [g.coords] if g.coords.size else [])
+    if t == POLYGON:
+        return Geom(MULTIPOLYGON, [g.coords] if g.coords else [])
+    return g
+
+
+def point_square(x: float, y: float, side: float = 1.0) -> list[np.ndarray]:
+    """G6 — reference point2poly R/finbif_geo_convert.R:528-543: axis-
+    aligned square of given side centered on (x, y) (metric frame)."""
+    h = side / 2.0
+    return [
+        np.array(
+            [[x - h, y - h], [x + h, y - h], [x + h, y + h], [x - h, y + h], [x - h, y - h]]
+        )
+    ]
+
+
+def point_diamond(x: float, y: float, r: float = 0.5) -> list[np.ndarray]:
+    """G11 — st_buffer(point, r, nQuadSegs=1) = 4-vertex diamond
+    (reference R/finbif_geo_convert.R:340-370)."""
+    return [np.array([[x + r, y], [x, y - r], [x - r, y], [x, y + r], [x + r, y]])]
+
+
+def segment_hexagon(p0: np.ndarray, p1: np.ndarray, r: float = 0.5) -> np.ndarray:
+    """G7 — st_buffer(two-point line, r, nQuadSegs=1): offset rectangle
+    with one-segment (diamond) end caps = hexagon ring
+    (reference R/finbif_geo_convert.R:509-513)."""
+    d = p1 - p0
+    ll = float(np.hypot(d[0], d[1]))
+    if ll == 0.0:
+        return point_diamond(float(p0[0]), float(p0[1]), r)[0]
+    u = d / ll
+    nvec = np.array([u[1], -u[0]]) * r
+    cap1 = p1 + u * r
+    cap0 = p0 - u * r
+    ring = np.array([p0 + nvec, p1 + nvec, cap1, p1 - nvec, p0 - nvec, cap0, p0 + nvec])
+    return ring
+
+
+def buffer_line(coords: np.ndarray, r: float = 0.5) -> list[list[np.ndarray]]:
+    """Per-segment quadsegs=1 buffer. Exact for single-segment lines
+    (the only case the fixtures exercise inside GCs); multi-segment
+    lines produce one hexagon per segment (union approximated by the
+    piece list — documented deviation from GEOS's merged outline)."""
+    out = []
+    for i in range(len(coords) - 1):
+        out.append([segment_hexagon(coords[i], coords[i + 1], r)])
+    if not out:
+        out.append([point_diamond(float(coords[0][0]), float(coords[0][1]), r)[0]])
+    return out
+
+
+def round_coords(g: Geom, digits: int = 0) -> Geom:
+    """Banker's rounding of every coordinate (R round() semantics,
+    reference R/finbif_geo_convert.R:462 rounds MULTIPOLYGONs to
+    integer meters in EPSG:3067). numpy.round == round-half-to-even."""
+    return transform_coords(g, lambda x, y: (np.round(x, digits), np.round(y, digits)))
+
+
+def _dedupe_ring(r: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices; keep closure."""
+    if len(r) == 0:
+        return r
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]).any(axis=1)
+    out = r[keep]
+    if len(out) > 1 and (out[0] == out[-1]).all():
+        out = out[:-1]
+    return out
+
+
+def make_valid_polygons(polys: list[list[np.ndarray]]):
+    """G9 make-valid-lite over a MULTIPOLYGON's pieces (reference
+    delegates to GEOS st_make_valid, R/finbif_geo_convert.R:415-419,469;
+    we implement the subset the fixtures exercise — SURVEY §7.3):
+
+    - consecutive-duplicate vertex drop
+    - zero-area ring collapse to its linework (distinct-vertex line) or
+      to a point when only one distinct vertex remains
+
+    Returns (valid_polys, lines, points)."""
+    valid, lines, points = [], [], []
+    for rings in polys:
+        kept = []
+        for ring in rings:
+            rr = _dedupe_ring(ring)
+            if len(rr) >= 3:
+                a2, _, _ = _ring_area2_cx_cy(rr)
+                if a2 != 0.0:
+                    closed = np.concatenate([rr, rr[:1]], axis=0)
+                    kept.append(closed)
+                    continue
+            # degenerate: linework
+            uniq = np.unique(rr, axis=0)
+            if len(uniq) >= 2:
+                lines.append(uniq[np.lexsort((uniq[:, 1], uniq[:, 0]))])
+            elif len(uniq) == 1:
+                points.append(uniq[0])
+        if kept:
+            valid.append(kept)
+    return valid, lines, points
+
+
+def uncollect(g: Geom, digits: int | None = None) -> Geom:
+    """G5 — homogenize a GEOMETRYCOLLECTION (reference uncollect,
+    R/finbif_geo_convert.R:437-485; golden classes pinned by reference
+    inst/tinytest/test_pkg.R:39-95):
+
+    1. unknown member tags (TRIANGLE...) -> passthrough unchanged;
+    2. all members of one family (mod MULTI) -> merged MULTI*;
+    3. else polygonize every member (point->1 m square, line->0.5 m
+       quadsegs=1 buffer, polygon->itself) -> MULTIPOLYGON;
+    4. a MULTIPOLYGON result is rounded (banker's, `digits`) and
+       made valid; full collapse degrades to LINESTRING/MULTIPOINT like
+       GEOS make_valid (test case 3: point+line GC -> LINESTRING);
+       partial collapse re-polygonizes the linework (test case 2).
+    """
+    if g.gtype != GEOMETRYCOLLECTION:
+        return g
+    members = [m for m in g.coords if not m.is_empty]
+    if not members:
+        return g
+    if any(m.gtype not in _KNOWN_FAMILY and m.gtype != GEOMETRYCOLLECTION for m in members):
+        return g  # TRIANGLE etc: passthrough (test_pkg.R:91-95)
+    members = [uncollect(m, digits) if m.gtype == GEOMETRYCOLLECTION else m for m in members]
+    fams = {_KNOWN_FAMILY.get(m.gtype, POLYGON) for m in members}
+    if len(fams) == 1:
+        fam = fams.pop()
+        merged = _merge_family(members, fam)
+        if fam != POLYGON:
+            return merged
+        g2 = merged
+    else:
+        g2 = Geom(MULTIPOLYGON, _polygonize_members(members))
+    # MULTIPOLYGON path: round + make valid
+    if digits is not None:
+        g2 = round_coords(g2, digits)
+    polys = g2.coords if g2.gtype == MULTIPOLYGON else [g2.coords]
+    valid, lines, points = make_valid_polygons(polys)
+    if valid and not lines:
+        return Geom(MULTIPOLYGON, valid)
+    if valid and lines:
+        # re-polygonize the collapsed linework (test case 2 -> MULTIPOLYGON)
+        for ln in lines:
+            for poly in buffer_line(ln, 0.5):
+                valid.append(poly)
+        return Geom(MULTIPOLYGON, valid)
+    # no polygon survived: degrade like GEOS make_valid linework
+    if lines:
+        line_pts = {tuple(p) for ln in lines for p in ln}
+        points = [p for p in points if tuple(p) not in line_pts]
+        if not points and len(lines) == 1:
+            return Geom(LINESTRING, lines[0])
+        if not points:
+            return Geom(MULTILINESTRING, lines)
+        return Geom(
+            GEOMETRYCOLLECTION,
+            [Geom(LINESTRING, ln) for ln in lines] + [Geom(POINT, p) for p in points],
+        )
+    if points:
+        if len(points) == 1:
+            return Geom(POINT, points[0])
+        return Geom(MULTIPOINT, np.array(points))
+    return Geom(MULTIPOLYGON, [])
+
+
+def _merge_family(members: list[Geom], fam: str) -> Geom:
+    parts = []
+    for m in members:
+        t, c = m.gtype, m.coords
+        if t == fam:  # single
+            parts.append(c)
+        else:  # already MULTI
+            if fam == POINT:
+                parts.extend(list(c))
+            else:
+                parts.extend(c)
+    if fam == POINT:
+        return Geom(MULTIPOINT, np.array([np.asarray(p).reshape(2) for p in parts]))
+    if fam == LINESTRING:
+        return Geom(MULTILINESTRING, parts)
+    return Geom(MULTIPOLYGON, parts)
+
+
+def _polygonize_members(members: list[Geom]) -> list[list[np.ndarray]]:
+    """to_polygon per member — reference R/finbif_geo_convert.R:505-525."""
+    out: list[list[np.ndarray]] = []
+    for m in members:
+        t, c = m.gtype, m.coords
+        if t == POINT:
+            out.append(point_square(float(c[0]), float(c[1])))
+        elif t == MULTIPOINT:
+            for p in c:
+                out.append(point_square(float(p[0]), float(p[1])))
+        elif t == LINESTRING:
+            out.extend(buffer_line(c))
+        elif t == MULTILINESTRING:
+            for ln in c:
+                out.extend(buffer_line(ln))
+        elif t == POLYGON:
+            out.append(c)
+        elif t == MULTIPOLYGON:
+            out.extend(c)
+    return out

@@ -1,0 +1,450 @@
+"""Deterministic synthetic `pages` dataset + independent oracle truths.
+
+Implements FIXTURES.md §1/§4/§6 (seed 42, Finland bbox, reference
+geometry-type mix measured from inst/tinytest/laji-data.tsv and
+HBF.55685.zip — see SURVEY.md §1.2). The generator computes every truth
+*forward* (it chooses positions in the EPSG:3067 plane, then renders
+the html), so tile / PIP / kNN goldens are independent of the engine's
+kernels: the engine must recover them from the html alone.
+
+Independence notes:
+- tile truth = floor arithmetic on generator-chosen E/N; the engine's
+  TM35FIN forward transform is itself pinned to a quadrature oracle in
+  tests/test_crs.py.
+- PIP truth = brute-force O(n*m) ray-cast here vs the engine's
+  cell-prefilter + STR-index + crossing test.
+- kNN truth = full distance matrix here vs the engine's ring expansion.
+- every point is nudged >=1 m away from polygon edges and >=1 m away
+  from 1 km tile boundaries so float noise (html carries %.7f ~ 1 cm)
+  cannot flip a golden.
+
+Outputs under /root/repo/data/{scale}/:
+  pages.parquet      url, warc_ts, html(binary), text, lang
+  truth.parquet      per-url expected extraction/point/tile values
+  pip.parquet        (url, poly_id) golden join rows
+  knn.parquet        (probe_id, url) golden k=5 neighbor rows
+  polygons.parquet   broadcast polygon layer (shared geometry recipe)
+  probes.parquet     kNN probe points
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fgcspark.crs import tm35fin as tm
+
+SEED = 42
+SCALE_ROWS = {"sf0.001": 2000, "sf0.01": 10000, "sf0.1": 100000}
+DATA_DIR = Path(os.environ.get("FGC_DATA_DIR", "/root/repo/data"))
+
+# Finland-ish working window in EPSG:3067 (1 km inset from round numbers)
+E_MIN, E_MAX = 100500.0, 729500.0
+N_MIN, N_MAX = 6610500.0, 7769500.0
+HOT_LON, HOT_LAT = 24.94, 60.17
+
+# geometry-category mix per 1000 rows (FIXTURES.md §1)
+# 0 point-only, 1 point+POINT-footprint, 2 point+empty-footprint,
+# 3 polygon, 4 linestring, 5 geometrycollection,
+# 6 coords-only/no-footprint, 7 footprint-only/no-coords
+CAT_PER_1000 = [(0, 628), (1, 16), (2, 16), (3, 170), (4, 110), (5, 27), (6, 3), (7, 30)]
+
+SPECIES = [f"species_{i:02d}" for i in range(50)]
+K_NN = 5
+N_PROBES = 200
+N_POLYGONS = 200
+
+
+def _fmt(x: float) -> str:
+    return f"{x:.7f}"
+
+
+def _ring_wkt(lon: np.ndarray, lat: np.ndarray) -> str:
+    pts = ", ".join(f"{_fmt(a)} {_fmt(b)}" for a, b in zip(lon, lat))
+    first = f"{_fmt(lon[0])} {_fmt(lat[0])}"
+    return f"({pts}, {first})"
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; pts (k,2) -> hull CCW without repeat."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(p):
+        out: list[np.ndarray] = []
+        for v in p:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], v - out[-2]) <= 0:
+                out.pop()
+            out.append(v)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _poly_centroid(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Planar area-weighted centroid of a closed-or-open ring (shoelace)."""
+    if x[0] != x[-1] or y[0] != y[-1]:
+        x = np.append(x, x[0])
+        y = np.append(y, y[0])
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    a = cross.sum() / 2.0
+    cx = ((x[:-1] + x[1:]) * cross).sum() / (6.0 * a)
+    cy = ((y[:-1] + y[1:]) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Crossing-number PIP: points (n,), ring (k,2) closed or open."""
+    x0, y0 = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for i in range(len(x0)):
+        cond = (y0[i] > py) != (y1[i] > py)
+        if not cond.any():
+            continue
+        xint = (x1[i] - x0[i]) * (py - y0[i]) / (y1[i] - y0[i]) + x0[i]
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def _seg_dist(px: np.ndarray, py: np.ndarray, segs: np.ndarray) -> np.ndarray:
+    """Min distance from each point to any segment. segs (m,4)=(x0,y0,x1,y1)."""
+    best = np.full(px.shape[0], np.inf)
+    for x0, y0, x1, y1 in segs:
+        dx, dy = x1 - x0, y1 - y0
+        ll = dx * dx + dy * dy
+        t = np.clip(((px - x0) * dx + (py - y0) * dy) / (ll if ll > 0 else 1.0), 0.0, 1.0)
+        d = np.hypot(px - (x0 + t * dx), py - (y0 + t * dy))
+        np.minimum(best, d, out=best)
+    return best
+
+
+def _build_polygons(rng: np.random.Generator) -> tuple[list[dict], list[np.ndarray]]:
+    """200 convex polygons over the window, ~10% overlap, 5 over the hot
+    cell (FIXTURES.md §4). Returns (records, rings_3067)."""
+    hot_e, hot_n = (float(v) for v in tm.geodetic_to_tm35(HOT_LON, HOT_LAT))
+    ncol, nrow = 20, 10
+    de = (E_MAX - E_MIN) / ncol
+    dn = (N_MAX - N_MIN) / nrow
+    centers = []
+    for r in range(nrow):
+        for c in range(ncol):
+            centers.append((E_MIN + (c + 0.5) * de, N_MIN + (r + 0.5) * dn))
+    centers = np.array(centers)
+    d_hot = np.hypot(centers[:, 0] - hot_e, centers[:, 1] - hot_n)
+    hot_ids = set(np.argsort(d_hot)[:5].tolist())
+
+    records, rings = [], []
+    for pid in range(N_POLYGONS):
+        ce, cn = centers[pid]
+        k = int(rng.integers(8, 14))
+        a, b = de * 0.62, dn * 0.62  # ~10% pairwise overlap
+        if pid in hot_ids:
+            # guarantee hot-point containment: recenter toward the hot
+            # point, radii dominate the residual offset, and near-even
+            # vertex angles keep every chord outside the hot point
+            ce = ce + (hot_e - ce) * 0.7
+            cn = cn + (hot_n - cn) * 0.7
+            a = max(a, abs(hot_e - ce) * 2.5 + 8000.0)
+            b = max(b, abs(hot_n - cn) * 2.5 + 8000.0)
+            ang = np.linspace(0, 2 * np.pi, k, endpoint=False) + rng.uniform(-0.15, 0.15, k)
+            ru = rng.uniform(0.95, 1.15, k)
+        else:
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            ru = rng.uniform(0.85, 1.15, k)
+        pts = np.stack([ce + a * np.cos(ang) * ru, cn + b * np.sin(ang) * ru], axis=1)
+        hull = _convex_hull(pts)
+        lon, lat = tm.tm35_to_geodetic(hull[:, 0], hull[:, 1])
+        wkt = f"POLYGON ({_ring_wkt(lon, lat)})"
+        records.append({"poly_id": pid, "name": f"province_{pid}", "wkt": wkt})
+        # effective ring = what the engine will see: parse formatted wkt,
+        # forward-transform
+        lon_f = np.array([float(_fmt(v)) for v in lon])
+        lat_f = np.array([float(_fmt(v)) for v in lat])
+        ee, nn = tm.geodetic_to_tm35(lon_f, lat_f)
+        rings.append(np.stack([ee, nn], axis=1))
+        if pid in hot_ids:
+            assert _ray_cast(np.array([hot_e]), np.array([hot_n]), rings[-1])[0]
+    return records, rings
+
+
+def _footprint_polygon(rng, ce, cn, radius) -> tuple[str, np.ndarray]:
+    k = int(rng.integers(5, 10))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    ru = rng.uniform(0.7, 1.0, k)
+    ex = ce + radius * np.cos(ang) * ru
+    ny = cn + radius * np.sin(ang) * ru
+    lon, lat = tm.tm35_to_geodetic(ex, ny)
+    lon = np.array([float(_fmt(v)) for v in lon])
+    lat = np.array([float(_fmt(v)) for v in lat])
+    return f"POLYGON ({_ring_wkt(lon, lat)})", np.stack([lon, lat], axis=1)
+
+
+def _footprint_linestring(rng, ce, cn) -> str:
+    k = int(rng.integers(2, 7))
+    ex = ce + np.cumsum(rng.uniform(-150, 150, k))
+    ny = cn + np.cumsum(rng.uniform(-150, 150, k))
+    lon, lat = tm.tm35_to_geodetic(ex, ny)
+    pts = ", ".join(f"{_fmt(a)} {_fmt(b)}" for a, b in zip(lon, lat))
+    return f"LINESTRING ({pts})"
+
+
+def _footprint_gc(rng, ce, cn, variant: int) -> str:
+    lon, lat = (float(v) for v in tm.tm35_to_geodetic(ce, cn))
+    p = f"{_fmt(lon)} {_fmt(lat)}"
+    if variant == 0:  # point + multipoint -> MULTIPOINT (uncollect case 1)
+        lon2, lat2 = (float(v) for v in tm.tm35_to_geodetic(ce + 120.0, cn + 80.0))
+        return (
+            f"GEOMETRYCOLLECTION (POINT ({p}), "
+            f"MULTIPOINT (({_fmt(lon2)} {_fmt(lat2)})))"
+        )
+    if variant == 1:  # two polygons -> MULTIPOLYGON (uncollect case 2)
+        w1, _ = _footprint_polygon(rng, ce, cn, 200.0)
+        w2, _ = _footprint_polygon(rng, ce + 500.0, cn + 300.0, 150.0)
+        return f"GEOMETRYCOLLECTION ({w1}, {w2})"
+    if variant == 2:  # point + linestring -> collapse path (case 3)
+        # single-segment line: GEOS quadsegs=1 segment buffer is an exact
+        # hexagon, which the engine's line-buffer kernel reproduces
+        lon2, lat2 = (float(v) for v in tm.tm35_to_geodetic(ce + 180.0, cn + 140.0))
+        return (
+            f"GEOMETRYCOLLECTION (POINT ({p}), "
+            f"LINESTRING ({p}, {_fmt(lon2)} {_fmt(lat2)}))"
+        )
+    # TRIANGLE passthrough (uncollect case 4)
+    lon2, lat2 = (float(v) for v in tm.tm35_to_geodetic(ce + 100.0, cn))
+    lon3, lat3 = (float(v) for v in tm.tm35_to_geodetic(ce, cn + 100.0))
+    return (
+        f"GEOMETRYCOLLECTION (TRIANGLE (({p}, {_fmt(lon2)} {_fmt(lat2)}, "
+        f"{_fmt(lon3)} {_fmt(lat3)}, {p})))"
+    )
+
+
+def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Path:
+    """Generate (idempotently) the dataset for one scale; returns its dir."""
+    n = SCALE_ROWS[scale]
+    out = (out_dir or DATA_DIR) / scale
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng([SEED, n])
+
+    poly_records, poly_rings = _build_polygons(np.random.default_rng([SEED, 7]))
+    all_segs = np.concatenate(
+        [
+            np.concatenate([r, np.roll(r, -1, axis=0)], axis=1)
+            for r in poly_rings
+        ]
+    )
+
+    # --- categories & base positions (EPSG:3067 plane) ---------------
+    template = np.concatenate([np.full(cnt, cat, np.int8) for cat, cnt in CAT_PER_1000])
+    cats = np.tile(template, n // 1000 + 1)[:n]
+    cats = rng.permutation(cats)
+
+    hot_e, hot_n = (float(v) for v in tm.geodetic_to_tm35(HOT_LON, HOT_LAT))
+    hot = rng.random(n) < 0.2
+    e = np.where(hot, hot_e + rng.uniform(-2000, 2000, n), rng.uniform(E_MIN, E_MAX, n))
+    nn = np.where(hot, hot_n + rng.uniform(-2000, 2000, n), rng.uniform(N_MIN, N_MAX, n))
+
+    # rows whose point will be a polygon centroid (cat 7) get a center
+    # well inside its 1 km tile; polygon radius stays < 300 m
+    c7 = cats == 7
+    e[c7] = np.floor(e[c7] / 1000) * 1000 + rng.uniform(380, 620, int(c7.sum()))
+    nn[c7] = np.floor(nn[c7] / 1000) * 1000 + rng.uniform(380, 620, int(c7.sum()))
+
+    # --- safety nudges: >=1 m from 1 km tile lines & polygon edges ----
+    for arr in (e, nn):
+        frac = arr % 1000.0
+        arr += np.where(frac < 1.0, 1.5, 0.0) - np.where(frac > 999.0, 1.5, 0.0)
+    for _ in range(60):
+        d = _seg_dist(e, nn, all_segs)
+        bad = (d < 1.0) & ~c7  # cat-7 handled after centroid is known
+        if not bad.any():
+            break
+        e[bad] += 7.3
+        frac = e[bad] % 1000.0
+        e[bad] += np.where(frac < 1.0, 1.5, 0.0) - np.where(frac > 999.0, 1.5, 0.0)
+
+    # --- footprints + per-row point truth -----------------------------
+    footprints: list[str | None] = [None] * n
+    centroid_lon = np.full(n, np.nan)
+    centroid_lat = np.full(n, np.nan)
+    lon_r, lat_r = tm.tm35_to_geodetic(e, nn)
+    lat_s = np.array([_fmt(v) for v in lat_r])
+    lon_s = np.array([_fmt(v) for v in lon_r])
+
+    row_rng = np.random.default_rng([SEED, n, 1])
+    for i in np.nonzero(cats == 1)[0]:
+        footprints[i] = f"POINT ({lon_s[i]} {lat_s[i]})"
+    for i in np.nonzero(cats == 2)[0]:
+        footprints[i] = "POLYGON EMPTY"
+    for i in np.nonzero(cats == 3)[0]:
+        footprints[i], _ = _footprint_polygon(row_rng, e[i], nn[i], float(row_rng.uniform(60, 500)))
+    for i in np.nonzero(cats == 4)[0]:
+        footprints[i] = _footprint_linestring(row_rng, e[i], nn[i])
+    gc_rows = np.nonzero(cats == 5)[0]
+    for j, i in enumerate(gc_rows):
+        footprints[i] = _footprint_gc(row_rng, e[i], nn[i], j % 4)
+    for i in np.nonzero(c7)[0]:
+        for _attempt in range(50):
+            wkt, ring = _footprint_polygon(row_rng, e[i], nn[i], float(row_rng.uniform(60, 280)))
+            clon, clat = _poly_centroid(ring[:, 0], ring[:, 1])
+            ce2, cn2 = (float(v) for v in tm.geodetic_to_tm35(clon, clat))
+            if _seg_dist(np.array([ce2]), np.array([cn2]), all_segs)[0] >= 1.0:
+                footprints[i] = wkt
+                centroid_lon[i], centroid_lat[i] = clon, clat
+                e[i], nn[i] = ce2, cn2  # effective point for tiles/pip/knn
+                break
+        else:  # pragma: no cover - deterministic data makes this unreachable
+            raise RuntimeError(f"could not place cat-7 row {i}")
+
+    has_coords = cats != 7
+    # effective E/N: what the engine recovers from the %.7f strings
+    lon_eff = np.where(has_coords, np.array([float(s) for s in lon_s]), centroid_lon)
+    lat_eff = np.where(has_coords, np.array([float(s) for s in lat_s]), centroid_lat)
+    e_eff, n_eff = tm.geodetic_to_tm35(lon_eff, lat_eff)
+
+    # --- page content --------------------------------------------------
+    idx = np.arange(n)
+    urls = [f"https://site{i % 1000}.example/fi/page/{i}" for i in idx]
+    langs = np.where(idx % 10 < 8, "fi", np.where(idx % 10 == 8, "sv", "en"))
+    species = [SPECIES[(i * 7) % 50] for i in idx]
+    texts = [f"doc {i} {sp} observed" for i, sp in zip(idx, species)]
+    htmls = []
+    for i in idx:
+        meta = []
+        if has_coords[i]:
+            meta.append(f'<meta name="geo.position" content="{lat_s[i]};{lon_s[i]}">')
+        if footprints[i] is not None:
+            meta.append(f'<meta name="fgc.footprint" content="{footprints[i]}">')
+        htmls.append(
+            f"<html><head>{''.join(meta)}</head><body>{texts[i]}</body></html>".encode()
+        )
+
+    warc_ts = (np.datetime64("2021-06-08T00:00:00", "us") + (idx * 37).astype("timedelta64[s]"))
+
+    pq.write_table(
+        pa.table(
+            {
+                "url": urls,
+                "warc_ts": pa.array(warc_ts, pa.timestamp("us", tz="UTC")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": texts,
+                "lang": langs.tolist(),
+            }
+        ),
+        out / "pages.parquet",
+    )
+
+    # --- truth table ----------------------------------------------------
+    def cell(size_km):
+        s = size_km * 1000
+        return [
+            f"{int(np.floor(b / s))}:{int(np.floor(a / s))}"
+            for a, b in zip(e_eff, n_eff)
+        ]
+
+    point_wkt = [
+        f"POINT ({_fmt(lo)} {_fmt(la)})" for lo, la in zip(lon_eff, lat_eff)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url": urls,
+                "cat": cats.astype("int32"),
+                "lat_s": [lat_s[i] if has_coords[i] else None for i in idx],
+                "lon_s": [lon_s[i] if has_coords[i] else None for i in idx],
+                "footprint": footprints,
+                "text": texts,
+                "lang": langs.tolist(),
+                "e": e_eff,
+                "n": n_eff,
+                "cell_1km": cell(1),
+                "cell_10km": cell(10),
+                "cell_50km": cell(50),
+                "cell_100km": cell(100),
+                "point_wkt": point_wkt,
+            }
+        ),
+        out / "truth.parquet",
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "poly_id": [r["poly_id"] for r in poly_records],
+                "name": [r["name"] for r in poly_records],
+                "wkt": [r["wkt"] for r in poly_records],
+            }
+        ),
+        out / "polygons.parquet",
+    )
+
+    # --- PIP golden (brute force ray cast) -------------------------------
+    pip_url, pip_pid = [], []
+    for pid, ring in enumerate(poly_rings):
+        lo = ring.min(axis=0)
+        hi = ring.max(axis=0)
+        cand = np.nonzero(
+            (e_eff >= lo[0]) & (e_eff <= hi[0]) & (n_eff >= lo[1]) & (n_eff <= hi[1])
+        )[0]
+        if cand.size == 0:
+            continue
+        ins = _ray_cast(e_eff[cand], n_eff[cand], ring)
+        for i in cand[ins]:
+            pip_url.append(urls[i])
+            pip_pid.append(pid)
+    pq.write_table(
+        pa.table({"url": pip_url, "poly_id": pa.array(pip_pid, pa.int64())}),
+        out / "pip.parquet",
+    )
+
+    # --- kNN golden (brute force) ----------------------------------------
+    prng = np.random.default_rng([SEED, 11])
+    pe = prng.uniform(E_MIN, E_MAX, N_PROBES)
+    pn = prng.uniform(N_MIN, N_MAX, N_PROBES)
+    plon, plat = tm.tm35_to_geodetic(pe, pn)
+    plon = np.array([float(_fmt(v)) for v in plon])
+    plat = np.array([float(_fmt(v)) for v in plat])
+    pe, pn = tm.geodetic_to_tm35(plon, plat)  # effective, same basis as engine
+    knn_pid, knn_url = [], []
+    for p in range(N_PROBES):
+        d = np.hypot(e_eff - pe[p], n_eff - pn[p])
+        order = np.argsort(d, kind="stable")
+        assert d[order[K_NN]] - d[order[K_NN - 1]] > 1e-6, "kNN tie at boundary"
+        for i in order[:K_NN]:
+            knn_pid.append(p)
+            knn_url.append(urls[i])
+    pq.write_table(
+        pa.table({"probe_id": pa.array(knn_pid, pa.int64()), "url": knn_url}),
+        out / "knn.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "probe_id": pa.array(list(range(N_PROBES)), pa.int64()),
+                "lon": plon,
+                "lat": plat,
+            }
+        ),
+        out / "probes.parquet",
+    )
+
+    (out / "_SUCCESS").touch()
+    return out
+
+
+def ensure(scale: str) -> Path:
+    return generate(scale)
+
+
+if __name__ == "__main__":
+    import sys
+
+    for sc in sys.argv[1:] or ["sf0.001", "sf0.01"]:
+        print(generate(sc, force="--force" in sys.argv))
