@@ -1,0 +1,52 @@
+"""Facts pivot (S2/A1) + enrichment join (J1).
+
+Reference semantics (R/finbif_geo_convert.R:83,641-653): keep a
+whitelist of fact names from a long (Parent, Fact, Value) side table,
+pivot one column per fact keyed by Parent, left-join onto the rows.
+
+Distributed twist: the reference's first()-per-(Parent, Fact) is order
+dependent; in Spark "first" is nondeterministic under shuffle, so the
+engine defines the deterministic equivalent min_by(value, order_key) —
+same result as the reference on its (stable-ordered, single-node)
+inputs, stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_facts(
+    facts: DataFrame,
+    whitelist: list[str],
+    parent_col: str = "Parent",
+    fact_col: str = "Fact",
+    value_col: str = "Value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Long -> wide: one column per whitelisted fact name."""
+    f = facts.filter(F.col(fact_col).isin(whitelist))
+    agg: Column = (
+        F.min_by(value_col, order_col) if order_col else F.first(value_col, ignorenulls=True)
+    )
+    return f.groupBy(parent_col).pivot(fact_col, whitelist).agg(agg)
+
+
+def join_facts(
+    rows: DataFrame,
+    facts: DataFrame,
+    whitelist: list[str],
+    row_key: str,
+    parent_col: str = "Parent",
+    fact_col: str = "Fact",
+    value_col: str = "Value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """J1 enrichment: broadcast the pivoted facts (small by
+    construction: <= |whitelist| columns, one row per parent) onto the
+    row table — zero-shuffle join at any scale."""
+    wide = pivot_facts(facts, whitelist, parent_col, fact_col, value_col, order_col)
+    return rows.join(
+        F.broadcast(wide), rows[row_key] == wide[parent_col], "left"
+    ).drop(parent_col)

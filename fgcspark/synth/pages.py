@@ -173,55 +173,72 @@ def _build_polygons(rng: np.random.Generator) -> tuple[list[dict], list[np.ndarr
     return records, rings
 
 
+def _fpt(e_arr, n_arr):
+    """Transform metric coords to formatted-then-reparsed lon/lat — the
+    exact doubles the engine recovers from the WKT text."""
+    lon, lat = tm.tm35_to_geodetic(np.asarray(e_arr, float), np.asarray(n_arr, float))
+    lon = np.array([float(_fmt(v)) for v in np.atleast_1d(lon)])
+    lat = np.array([float(_fmt(v)) for v in np.atleast_1d(lat)])
+    return lon, lat
+
+
 def _footprint_polygon(rng, ce, cn, radius) -> tuple[str, np.ndarray]:
     k = int(rng.integers(5, 10))
     ang = np.sort(rng.uniform(0, 2 * np.pi, k))
     ru = rng.uniform(0.7, 1.0, k)
-    ex = ce + radius * np.cos(ang) * ru
-    ny = cn + radius * np.sin(ang) * ru
-    lon, lat = tm.tm35_to_geodetic(ex, ny)
-    lon = np.array([float(_fmt(v)) for v in lon])
-    lat = np.array([float(_fmt(v)) for v in lat])
+    lon, lat = _fpt(ce + radius * np.cos(ang) * ru, cn + radius * np.sin(ang) * ru)
     return f"POLYGON ({_ring_wkt(lon, lat)})", np.stack([lon, lat], axis=1)
 
 
-def _footprint_linestring(rng, ce, cn) -> str:
+def _footprint_linestring(rng, ce, cn) -> tuple[str, np.ndarray]:
     k = int(rng.integers(2, 7))
-    ex = ce + np.cumsum(rng.uniform(-150, 150, k))
-    ny = cn + np.cumsum(rng.uniform(-150, 150, k))
-    lon, lat = tm.tm35_to_geodetic(ex, ny)
-    pts = ", ".join(f"{_fmt(a)} {_fmt(b)}" for a, b in zip(lon, lat))
-    return f"LINESTRING ({pts})"
-
-
-def _footprint_gc(rng, ce, cn, variant: int) -> str:
-    lon, lat = (float(v) for v in tm.tm35_to_geodetic(ce, cn))
-    p = f"{_fmt(lon)} {_fmt(lat)}"
-    if variant == 0:  # point + multipoint -> MULTIPOINT (uncollect case 1)
-        lon2, lat2 = (float(v) for v in tm.tm35_to_geodetic(ce + 120.0, cn + 80.0))
-        return (
-            f"GEOMETRYCOLLECTION (POINT ({p}), "
-            f"MULTIPOINT (({_fmt(lon2)} {_fmt(lat2)})))"
-        )
-    if variant == 1:  # two polygons -> MULTIPOLYGON (uncollect case 2)
-        w1, _ = _footprint_polygon(rng, ce, cn, 200.0)
-        w2, _ = _footprint_polygon(rng, ce + 500.0, cn + 300.0, 150.0)
-        return f"GEOMETRYCOLLECTION ({w1}, {w2})"
-    if variant == 2:  # point + linestring -> collapse path (case 3)
-        # single-segment line: GEOS quadsegs=1 segment buffer is an exact
-        # hexagon, which the engine's line-buffer kernel reproduces
-        lon2, lat2 = (float(v) for v in tm.tm35_to_geodetic(ce + 180.0, cn + 140.0))
-        return (
-            f"GEOMETRYCOLLECTION (POINT ({p}), "
-            f"LINESTRING ({p}, {_fmt(lon2)} {_fmt(lat2)}))"
-        )
-    # TRIANGLE passthrough (uncollect case 4)
-    lon2, lat2 = (float(v) for v in tm.tm35_to_geodetic(ce + 100.0, cn))
-    lon3, lat3 = (float(v) for v in tm.tm35_to_geodetic(ce, cn + 100.0))
-    return (
-        f"GEOMETRYCOLLECTION (TRIANGLE (({p}, {_fmt(lon2)} {_fmt(lat2)}, "
-        f"{_fmt(lon3)} {_fmt(lat3)}, {p})))"
+    lon, lat = _fpt(
+        ce + np.cumsum(rng.uniform(-150, 150, k)), cn + np.cumsum(rng.uniform(-150, 150, k))
     )
+    pts = ", ".join(f"{_fmt(a)} {_fmt(b)}" for a, b in zip(lon, lat))
+    return f"LINESTRING ({pts})", np.stack([lon, lat], axis=1)
+
+
+def _footprint_gc(rng, ce, cn, variant: int):
+    """Returns (wkt, coords (m,2) lon/lat, footprint-mode result type)."""
+    lon, lat = _fpt([ce], [cn])
+    p = f"{_fmt(lon[0])} {_fmt(lat[0])}"
+    if variant == 0:  # point + multipoint -> MULTIPOINT (uncollect case 1)
+        lon2, lat2 = _fpt([ce + 120.0], [cn + 80.0])
+        wkt = (
+            f"GEOMETRYCOLLECTION (POINT ({p}), "
+            f"MULTIPOINT (({_fmt(lon2[0])} {_fmt(lat2[0])})))"
+        )
+        coords = np.array([[lon[0], lat[0]], [lon2[0], lat2[0]]])
+        return wkt, coords, "MULTIPOINT"
+    if variant == 1:  # two polygons -> MULTIPOLYGON (uncollect case 2)
+        w1, c1 = _footprint_polygon(rng, ce, cn, 200.0)
+        w2, c2 = _footprint_polygon(rng, ce + 500.0, cn + 300.0, 150.0)
+        return (
+            f"GEOMETRYCOLLECTION ({w1}, {w2})",
+            np.concatenate([c1, c2]),
+            "MULTIPOLYGON",
+        )
+    if variant == 2:  # point + linestring -> polygonize path (case 3 shape)
+        # single-segment line: GEOS quadsegs=1 segment buffer is an exact
+        # hexagon; with real-world (non-tie) coords neither square nor
+        # hexagon collapses under integer rounding -> MULTIPOLYGON
+        lon2, lat2 = _fpt([ce + 180.0], [cn + 140.0])
+        wkt = (
+            f"GEOMETRYCOLLECTION (POINT ({p}), "
+            f"LINESTRING ({p}, {_fmt(lon2[0])} {_fmt(lat2[0])}))"
+        )
+        coords = np.array([[lon[0], lat[0]], [lon2[0], lat2[0]]])
+        return wkt, coords, "MULTIPOLYGON"
+    # TRIANGLE passthrough (uncollect case 4)
+    lon2, lat2 = _fpt([ce + 100.0], [cn])
+    lon3, lat3 = _fpt([ce], [cn + 100.0])
+    wkt = (
+        f"GEOMETRYCOLLECTION (TRIANGLE (({p}, {_fmt(lon2[0])} {_fmt(lat2[0])}, "
+        f"{_fmt(lon3[0])} {_fmt(lat3[0])}, {p})))"
+    )
+    coords = np.array([[lon[0], lat[0]], [lon2[0], lat2[0]], [lon3[0], lat3[0]]])
+    return wkt, coords, "GEOMETRYCOLLECTION"
 
 
 def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Path:
@@ -272,6 +289,8 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
 
     # --- footprints + per-row point truth -----------------------------
     footprints: list[str | None] = [None] * n
+    fp_coords: list = [None] * n  # (m,2) lon/lat doubles of the raw footprint
+    fp_type: list = [None] * n  # footprint-mode output geometry type
     centroid_lon = np.full(n, np.nan)
     centroid_lat = np.full(n, np.nan)
     lon_r, lat_r = tm.tm35_to_geodetic(e, nn)
@@ -284,12 +303,18 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
     for i in np.nonzero(cats == 2)[0]:
         footprints[i] = "POLYGON EMPTY"
     for i in np.nonzero(cats == 3)[0]:
-        footprints[i], _ = _footprint_polygon(row_rng, e[i], nn[i], float(row_rng.uniform(60, 500)))
+        footprints[i], fp_coords[i] = _footprint_polygon(
+            row_rng, e[i], nn[i], float(row_rng.uniform(60, 500))
+        )
+        fp_type[i] = "MULTIPOLYGON"
     for i in np.nonzero(cats == 4)[0]:
-        footprints[i] = _footprint_linestring(row_rng, e[i], nn[i])
+        footprints[i], fp_coords[i] = _footprint_linestring(row_rng, e[i], nn[i])
+        fp_type[i] = "MULTILINESTRING"
     gc_rows = np.nonzero(cats == 5)[0]
     for j, i in enumerate(gc_rows):
-        footprints[i] = _footprint_gc(row_rng, e[i], nn[i], j % 4)
+        footprints[i], fp_coords[i], fp_type[i] = _footprint_gc(
+            row_rng, e[i], nn[i], j % 4
+        )
     for i in np.nonzero(c7)[0]:
         for _attempt in range(50):
             wkt, ring = _footprint_polygon(row_rng, e[i], nn[i], float(row_rng.uniform(60, 280)))
@@ -297,6 +322,8 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
             ce2, cn2 = (float(v) for v in tm.geodetic_to_tm35(clon, clat))
             if _seg_dist(np.array([ce2]), np.array([cn2]), all_segs)[0] >= 1.0:
                 footprints[i] = wkt
+                fp_coords[i] = ring
+                fp_type[i] = "MULTIPOLYGON"
                 centroid_lon[i], centroid_lat[i] = clon, clat
                 e[i], nn[i] = ce2, cn2  # effective point for tiles/pip/knn
                 break
@@ -308,6 +335,35 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
     lon_eff = np.where(has_coords, np.array([float(s) for s in lon_s]), centroid_lon)
     lat_eff = np.where(has_coords, np.array([float(s) for s in lat_s]), centroid_lat)
     e_eff, n_eff = tm.geodetic_to_tm35(lon_eff, lat_eff)
+
+    # footprint-mode truth for substitution rows (empty/POINT footprint +
+    # valid coords -> MULTIPOINT((lon lat)), reference
+    # R/finbif_geo_convert.R:242-299; the >1-row guard always holds here:
+    # every scale has >=2 such rows by construction)
+    for i in np.nonzero(np.isin(cats, (0, 1, 2, 6)))[0]:
+        fp_coords[i] = np.array([[lon_eff[i], lat_eff[i]]])
+        fp_type[i] = "MULTIPOINT"
+
+    # bbox-mode truth: 5-point corner polygon over the effective
+    # footprint coords (no row here carries a bare POINT footprint, so
+    # the 0.5 m diamond buffer G11 never fires — covered in pytest)
+    def _numf(x: float) -> str:
+        xi = int(x)
+        return str(xi) if x == xi else repr(float(x))
+
+    bbox_wkt = []
+    for i in range(n):
+        c = fp_coords[i]
+        x0, y0 = float(c[:, 0].min()), float(c[:, 1].min())
+        x1, y1 = float(c[:, 0].max()), float(c[:, 1].max())
+        bbox_wkt.append(
+            "POLYGON (("
+            + ", ".join(
+                f"{_numf(a)} {_numf(b)}"
+                for a, b in ((x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0))
+            )
+            + "))"
+        )
 
     # --- page content --------------------------------------------------
     idx = np.arange(n)
@@ -369,6 +425,8 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
                 "cell_50km": cell(50),
                 "cell_100km": cell(100),
                 "point_wkt": point_wkt,
+                "fp_type": fp_type,
+                "bbox_wkt": bbox_wkt,
             }
         ),
         out / "truth.parquet",

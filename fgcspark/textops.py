@@ -1,0 +1,251 @@
+"""Training-data text operators over the `documents` table.
+
+Beyond-the-reference operators required by the graft (task brief):
+exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, language
+ID, quality scoring, token counting, document fingerprinting.
+
+Design rules:
+- every operator is pure DataFrame algebra (explode / groupBy / join),
+  no Python UDFs — shuffle-parallel at any scale;
+- outputs are integers/strings only (no float columns), so the DuckDB
+  oracle comparison is exact;
+- the shared 56-bit hash is `conv(substr(md5(x),1,14),16,10)` — the
+  same value is computable in any engine that has md5, making every
+  hash-based operator independently checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 2147483647  # 2^31 - 1, keeps a*h + b inside int64
+# deterministic affine minhash permutations (j -> (A_J[j]*h + B_J[j]) % M)
+A_J = [1181, 2473, 3373, 4591, 5737, 6863, 7919, 9049, 10181, 11287, 12433, 13591, 14723, 15859, 17029, 18143]
+B_J = [7, 131, 239, 359, 467, 587, 709, 827, 941, 1061, 1181, 1301, 1429, 1549, 1663, 1787]
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 16
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "das"),
+}
+STOPWORDS = ("the", "a", "of", "and", "value", "table")
+
+
+def md5_56(col):
+    """Shared 56-bit content hash (bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+# --- shingles --------------------------------------------------------------
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+    )
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, common, n_a, n_b) for every shingle-sharing pair."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return pairs.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, tau_pct: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with word-n-gram Jaccard >= tau_pct/100, exact.
+
+    Integer-only filter (100*common >= tau*(union)) keeps the oracle
+    comparison float-free. Scales as a shingle equi-join: only pairs
+    sharing >= 1 shingle are ever materialized."""
+    pj = _pair_jaccard(shingles(df, n, id_col, text_col), id_col)
+    return pj.where(
+        F.lit(100) * F.col("common")
+        >= F.lit(tau_pct) * (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select("id_a", "id_b", "common", "n_a", "n_b")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, n: int = 3, tau_pct: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4): candidate pairs from band-bucket
+    equi-joins, then exact Jaccard verification — the scale path for
+    near-dup dedup (candidates only, never all pairs)."""
+    sh = shingles(df, n, id_col, text_col).withColumn(
+        "h", md5_56(F.col("shingle")) % HASH_MOD
+    )
+    mh = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(A_J[j]) * F.col("h") + F.lit(B_J[j])) % HASH_MOD).alias(f"m{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        key = F.concat_ws(
+            ",", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        bands.append(mh.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionAll(x)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    pj = _pair_jaccard(shingles(df, n, id_col, text_col), id_col)
+    return cand.join(pj, ["id_a", "id_b"]).where(
+        F.lit(100) * F.col("common")
+        >= F.lit(tau_pct) * (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select("id_a", "id_b", "common", "n_a", "n_b")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document from token hashes (multiplicity
+    preserved; bit j set iff sum of ±1 votes > 0)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = md5_56(F.col("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Banded exactly: 4 nibble-bands; hamming<=3 guarantees at least one
+    identical band (pigeonhole), so the band equi-join loses nothing
+    while avoiding the all-pairs product at scale."""
+    assert max_hamming < N_BANDS
+    sh = simhash(df, id_col, text_col)
+    bands = []
+    for b in range(N_BANDS):
+        nib = F.shiftright(F.col("simhash"), b * 4).bitwiseAND(F.lit(0xF))
+        bands.append(sh.select(id_col, "simhash", F.lit(b).alias("band"), nib.alias("nib")))
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionAll(x)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    cand = (
+        a.join(b2, ["band", "nib"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one keeper (min id) per distinct text + copy count.
+    Hash-groupBy on the text; at scale group on md5_56(text) instead to
+    shrink shuffle payload (same result, collision odds 2^-56)."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+def langid(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID (n-gram-free heuristic): count marker
+    tokens per language, argmax with fixed priority en > es > de."""
+    toks = F.split(F.col(text_col), " ")
+    cnt = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        cnt[lang] = F.expr(
+            f"size(filter(split({text_col}, ' '), t -> t in ({lst})))"
+        ).alias(f"c_{lang}")
+    pred = (
+        F.when(
+            (F.col("c_en") >= F.col("c_es")) & (F.col("c_en") >= F.col("c_de")), "en"
+        )
+        .when(F.col("c_es") >= F.col("c_de"), "es")
+        .otherwise("de")
+    )
+    return df.select(F.col(id_col), *cnt.values()).withColumn("lang_pred", pred)
+
+
+def quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality signals, integer-valued: token count, alphabetic char
+    count, non-space-non-alnum (punctuation) count, stopword count."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        F.length(F.regexp_replace(F.col(text_col), "[^a-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")).alias("n_punct"),
+        F.expr(f"size(filter(split({text_col}, ' '), t -> t in ({stop})))").alias(
+            "n_stop"
+        ),
+    )
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish subword counting: alpha runs, single digits, single
+    punctuation marks."""
+    pat = "[a-z]+|[0-9]|[^a-z0-9 ]"
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            "n_bpeish"
+        ),
+        F.size(F.split(F.col(text_col), " ")).alias("n_ws"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: 56-bit md5 of whitespace-normalized lower-
+    cased text — the exact-dedup key at 100 TB (hash-groupBy shuffles
+    8-byte keys, not documents)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return df.select(F.col(id_col), md5_56(norm).alias("fp"))
