@@ -1,38 +1,558 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: fgcspark — PySpark-native spatial-join + tiling engine
+re-expressing luomus/finbif-geo-convert (see SURVEY.md).
+
+Geo queries run over the deterministic synthetic `pages` dataset
+(fgcspark/synth/pages.py, seed 42, FIXTURES.md §1) generated under
+/root/repo/data/{sf}; their oracles read the generator's independent
+brute-force truth parquets via read_parquet(). Relational/training
+queries run over the driver's testdata views with plain SQL oracles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GEO_DATA = "/root/repo/data"
+ORACLE_SCALE = "sf0.01"  # the driver's correctness scale
+
+
+def _geo_dir(sf_dir: str) -> str:
+    """Map the driver's sf dir to our pages dataset dir (generating it
+    on first use — deterministic, seed 42)."""
+    from fgcspark.synth.pages import SCALE_ROWS, generate
+
+    scale = Path(sf_dir).name
+    if scale not in SCALE_ROWS:
+        scale = ORACLE_SCALE
+    return str(generate(scale, Path(GEO_DATA)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract geotags from pages html, project to EPSG:3067,
+    assign 10 km FinBIF tiles, count docs per tile."""
+    from fgcspark.pipeline import tile_counts
+
+    return tile_counts(spark, _geo_dir("/root/testdata/sf0.001"), size_km=10)
+
+
+# ---------------------------------------------------------------------------
+# geo queries (pages dataset)
+# ---------------------------------------------------------------------------
+
+
+def _q_extract(spark, sf_dir):
+    from fgcspark.extract import with_extracted
+    from fgcspark.pipeline import load_pages
+
+    df = with_extracted(load_pages(spark, _geo_dir(sf_dir)))
+    return df.select("url", "extracted_text")
+
+
+def _q_points(spark, sf_dir):
+    from fgcspark.pipeline import geo_pipeline
+
+    return geo_pipeline(spark, _geo_dir(sf_dir), geo="point", crs="wgs84").select(
+        "url", "geo_wkt"
+    )
+
+
+def _q_footprint_types(spark, sf_dir):
+    from fgcspark.pipeline import geo_pipeline
+
+    return geo_pipeline(spark, _geo_dir(sf_dir), geo="footprint", crs="wgs84").select(
+        "url", "geom_type"
+    )
+
+
+def _q_bbox(spark, sf_dir):
+    from fgcspark.pipeline import geo_pipeline
+
+    return geo_pipeline(spark, _geo_dir(sf_dir), geo="bbox", crs="wgs84").select(
+        "url", F.col("geo_wkt").alias("bbox_wkt")
+    )
+
+
+def _q_tiles(spark, sf_dir):
+    from fgcspark.pipeline import pages_to_points
+
+    return pages_to_points(spark, _geo_dir(sf_dir)).select(
+        "url", "cell_1km", "cell_10km", "cell_50km", "cell_100km"
+    )
+
+
+def _q_tile_counts(spark, sf_dir):
+    from fgcspark.pipeline import tile_counts
+
+    return tile_counts(spark, _geo_dir(sf_dir), size_km=10)
+
+
+def _q_tile_counts_salted(spark, sf_dir):
+    """Skew-safe two-stage aggregation: pre-aggregate on (cell, salt)
+    so one hot cell (20 % of all rows by construction) spreads over 16
+    reducers before the final combine — the north_rule's explicit
+    hot-cell salting, checked for exactness against the plain oracle."""
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir))
+    salted = pts.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(16)))
+    partial = salted.groupBy(F.col("cell_10km").alias("cell"), "_salt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return partial.groupBy("cell").agg(F.sum("c").cast("long").alias("n_docs"))
+
+
+def _q_pip(spark, sf_dir):
+    from fgcspark.joins.pip import pip_join
+    from fgcspark.pipeline import pages_to_points
+
+    d = _geo_dir(sf_dir)
+    pts = pages_to_points(spark, d).select("url", "e", "n")
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    return pip_join(spark, pts, polys)
+
+
+def _q_pip_counts(spark, sf_dir):
+    return (
+        _q_pip(spark, sf_dir)
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def _q_knn(spark, sf_dir):
+    from fgcspark.joins.knn import knn_join
+    from fgcspark.pipeline import pages_to_points
+
+    d = _geo_dir(sf_dir)
+    pts = pages_to_points(spark, d).select("url", "e", "n")
+    probes = spark.read.parquet(f"{d}/probes.parquet")
+    return knn_join(spark, pts, probes, k=5).select("probe_id", "url")
+
+
+# ---------------------------------------------------------------------------
+# relational / training-data queries (driver testdata views)
+# ---------------------------------------------------------------------------
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _q_facts_pivot(spark, sf_dir):
+    from fgcspark.facts import pivot_facts
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("Parent"),
+        F.col("event_type").alias("Fact"),
+        F.col("value").alias("Value"),
+        F.col("event_id").alias("ord"),
+    )
+    wl = ["click", "view", "purchase", "signup", "error"]
+    return pivot_facts(ev, wl, order_col="ord").withColumnRenamed("Parent", "user_id")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from fgcspark.textops import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from fgcspark.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, tau_pct=6)
+
+
+def _q_minhash(spark, sf_dir):
+    from fgcspark.textops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, tau_pct=6)
+
+
+def _q_simhash(spark, sf_dir):
+    from fgcspark.textops import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_langid(spark, sf_dir):
+    from fgcspark.textops import langid
+
+    return langid(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    from fgcspark.textops import quality
+
+    return quality(_t(spark, sf_dir, "documents"))
+
+
+def _q_tokens(spark, sf_dir):
+    from fgcspark.textops import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from fgcspark.textops import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_embed_neardup(spark, sf_dir):
+    from fgcspark.sim import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), tau=0.4)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from fgcspark.sim import ann_topk_brute
+
+    return ann_topk_brute(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from fgcspark.sim import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10, centroid_mod=50, nprobe=2)
+
+
+def _q_lineitem_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_c"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nn = _t(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nn), c.c_nationkey == nn.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _q_latest_event(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # geo engine (pages dataset; oracles = generator truth parquets)
+        "pages_extract_text": _q_extract,
+        "pages_points_wkt": _q_points,
+        "pages_footprint_types": _q_footprint_types,
+        "pages_bbox_wkt": _q_bbox,
+        "pages_tiles": _q_tiles,
+        "tile_counts_10km": _q_tile_counts,
+        "tile_counts_10km_salted": _q_tile_counts_salted,
+        "pip_join": _q_pip,
+        "pip_counts": _q_pip_counts,
+        "knn_k5": _q_knn,
+        # reference relational semantics
+        "facts_pivot": _q_facts_pivot,
+        "latest_event_per_user": _q_latest_event,
+        "lineitem_agg": _q_lineitem_agg,
+        "revenue_by_nation": _q_revenue_by_nation,
+        # training-data ops
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash,
+        "simhash_pairs": _q_simhash,
+        "langid": _q_langid,
+        "quality_signals": _q_quality,
+        "token_counts": _q_tokens,
+        "doc_fingerprint": _q_fingerprint,
+        "embed_neardup": _q_embed_neardup,
+        "ann_topk_brute": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_ivf,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TR = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/truth.parquet')"
+
+# shared SQL fragments mirroring fgcspark.textops semantics
+_SHINGLES = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks JOIN range(1, 4096) r(i) ON i <= len(t) - 2
+    WHERE len(array_to_string(t[i:i+2], ' ')) > 0
+), sz AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+"""
+
+_MINHASH_COLS = ", ".join(
+    f"min(({a} * (h % 2147483647) + {b}) % 2147483647) AS m{j}"
+    for j, (a, b) in enumerate(
+        zip(
+            [1181, 2473, 3373, 4591, 5737, 6863, 7919, 9049, 10181, 11287, 12433, 13591, 14723, 15859, 17029, 18143],
+            [7, 131, 239, 359, 467, 587, 709, 827, 941, 1061, 1181, 1301, 1429, 1549, 1663, 1787],
+        )
+    )
+)
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+)
+_SIMHASH_VAL = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+_DOT = "list_dot_product(a.v, b.v)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+    # --- geo: generator truths -------------------------------------------
+    sql["pages_extract_text"] = f"SELECT url, text AS extracted_text FROM {_TR}"
+    sql["pages_points_wkt"] = f"SELECT url, point_wkt AS geo_wkt FROM {_TR}"
+    sql["pages_footprint_types"] = f"SELECT url, fp_type AS geom_type FROM {_TR}"
+    sql["pages_bbox_wkt"] = f"SELECT url, bbox_wkt FROM {_TR}"
+    sql["pages_tiles"] = (
+        f"SELECT url, cell_1km, cell_10km, cell_50km, cell_100km FROM {_TR}"
+    )
+    sql["tile_counts_10km"] = (
+        f"SELECT cell_10km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 1"
+    )
+    sql["tile_counts_10km_salted"] = sql["tile_counts_10km"]
+    sql["pip_join"] = (
+        f"SELECT url, poly_id FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet')"
+    )
+    sql["pip_counts"] = (
+        f"SELECT poly_id, count(*) AS n_pages FROM "
+        f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet') GROUP BY 1"
+    )
+    sql["knn_k5"] = (
+        f"SELECT probe_id, url FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/knn.parquet')"
+    )
+    # --- relational --------------------------------------------------------
+    sql["facts_pivot"] = """
+        SELECT user_id,
+               min_by(value, event_id) FILTER (WHERE event_type ='click') AS click,
+               min_by(value, event_id) FILTER (WHERE event_type ='view') AS view,
+               min_by(value, event_id) FILTER (WHERE event_type ='purchase') AS purchase,
+               min_by(value, event_id) FILTER (WHERE event_type ='signup') AS signup,
+               min_by(value, event_id) FILTER (WHERE event_type ='error') AS error
+        FROM events GROUP BY 1
     """
-    return {}
+    sql["latest_event_per_user"] = """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """
+    sql["lineitem_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+               count(*) AS n_rows
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY 1, 2
+    """
+    sql["revenue_by_nation"] = """
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """
+    # --- training-data ops --------------------------------------------------
+    sql["exact_dedup"] = (
+        "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
+    )
+    sql["ngram_jaccard_pairs"] = (
+        _SHINGLES
+        + """
+        SELECT id_a, id_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM pairs
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE 100 * common >= 6 * (sa.n_sh + sb.n_sh - common)
+        """
+    )
+    sql["minhash_lsh_pairs"] = (
+        _SHINGLES.rstrip()
+        + f""", hashed AS (
+            SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 14)) AS BIGINT) AS h
+            FROM sh
+        ), mh AS (
+            SELECT doc_id, {_MINHASH_COLS} FROM hashed GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band, concat(m0, ',', m1, ',', m2, ',', m3) AS bkey FROM mh
+            UNION ALL
+            SELECT doc_id, 1, concat(m4, ',', m5, ',', m6, ',', m7) FROM mh
+            UNION ALL
+            SELECT doc_id, 2, concat(m8, ',', m9, ',', m10, ',', m11) FROM mh
+            UNION ALL
+            SELECT doc_id, 3, concat(m12, ',', m13, ',', m14, ',', m15) FROM mh
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b USING (band, bkey)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM cand
+        JOIN pairs USING (id_a, id_b)
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE 100 * common >= 6 * (sa.n_sh + sb.n_sh - common)
+        """
+    )
+    sql["simhash_pairs"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 14)) AS BIGINT) AS h
+            FROM toks WHERE len(tok) > 0
+        ), votes AS (
+            SELECT doc_id, {_SIMHASH_VOTES} FROM hashed GROUP BY doc_id
+        ), sh AS (
+            SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM votes
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+    """
+    sql["langid"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of'))) AS c_en,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de'))) AS c_es,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das'))) AS c_de
+            FROM documents
+        )
+        SELECT doc_id, c_en, c_es, c_de,
+               CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+                    WHEN c_es >= c_de THEN 'es'
+                    ELSE 'de' END AS lang_pred
+        FROM c
+    """
+    sql["quality_signals"] = """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+               len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','value','table'))) AS n_stop
+        FROM documents
+    """
+    sql["token_counts"] = """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpeish,
+               len(string_split(text, ' ')) AS n_ws
+        FROM documents
+    """
+    sql["doc_fingerprint"] = """
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 14)) AS BIGINT) AS fp
+        FROM documents
+    """
+    sql["embed_neardup"] = """
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    """
+    sql["ann_topk_brute"] = """
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id < 5)
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qv, v.v) / (q.qn * v.nrm) DESC, v.vec_id
+                   ) AS rn
+            FROM v, q WHERE v.vec_id <> q.query_id
+        ) WHERE rn <= 10
+    """
+    sql["ann_topk_ivf"] = """
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS cid, v AS cv, nrm AS cn FROM v WHERE vec_id % 50 = 0
+        ), assigned AS (
+            SELECT vec_id, v, nrm, cid FROM (
+                SELECT v.vec_id, v.v, v.nrm, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.v, cent.cv) / (v.nrm * cent.cn) DESC, cent.cid
+                       ) AS rn
+                FROM v, cent
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, qv, qn, cid FROM (
+                SELECT q.query_id, q.qv, q.qn, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qv, cent.cv) / (q.qn * cent.cn) DESC, cent.cid
+                       ) AS rn
+                FROM q, cent
+            ) WHERE rn <= 2
+        )
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_dot_product(p.qv, a.v) / (p.qn * a.nrm) DESC, a.vec_id
+                   ) AS rn
+            FROM assigned a JOIN probes p USING (cid)
+            WHERE a.vec_id <> p.query_id
+        ) WHERE rn <= 10
+    """
+    return sql
