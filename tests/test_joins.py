@@ -1,0 +1,89 @@
+"""Spatial-join goldens: PIP and kNN vs the generator's brute-force
+oracles (FIXTURES.md §6), plus an in-test brute-force cross-check that
+is independent of the generator code path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fgcspark.joins.knn import knn_join
+from fgcspark.joins.pip import build_polygon_index, pip_join
+from fgcspark.pipeline import pages_to_points
+
+
+@pytest.fixture(scope="module")
+def points(spark, pages_dir):
+    return pages_to_points(spark, pages_dir).select("url", "e", "n").cache()
+
+
+def test_pip_matches_golden(spark, pages_dir, points):
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    got = (
+        pip_join(spark, points, polys)
+        .toPandas()
+        .sort_values(["url", "poly_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.read_parquet(f"{pages_dir}/pip.parquet")
+        .sort_values(["url", "poly_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pip_cell_prefilter_is_lossless(spark, pages_dir, points):
+    # a coarser prefilter grid must give identical results
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    a = pip_join(spark, points, polys, cell_km=50).toPandas()
+    b = pip_join(spark, points, polys, cell_km=100).toPandas()
+    key = lambda d: set(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
+    assert key(a) == key(b)
+
+
+def test_pip_index_cover_contains_bbox(spark, pages_dir):
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    idx = build_polygon_index(spark, polys, cell_km=50)
+    cover = set(idx.cover())
+    s = 50 * 1000
+    for pid, (x0, y0, x1, y1) in zip(idx.poly_ids, idx.bboxes):
+        for corner in ((x0, y0), (x1, y1)):
+            cell = (int(np.floor(corner[1] / s)), int(np.floor(corner[0] / s)), int(pid))
+            assert cell in cover
+
+
+def test_knn_matches_golden(spark, pages_dir, points):
+    probes = spark.read.parquet(f"{pages_dir}/probes.parquet")
+    got = knn_join(spark, points, probes, k=5)
+    got_pd = got.toPandas()
+    want = pd.read_parquet(f"{pages_dir}/knn.parquet")
+    key = lambda d: set(map(tuple, d[["probe_id", "url"]].itertuples(index=False)))
+    assert key(got_pd) == key(want)
+    assert len(got_pd) == len(want)  # exactly k rows per probe
+
+
+def test_knn_distances_certified(spark, pages_dir, points):
+    # independent check: engine's k-th distance equals the true k-th
+    # distance from a full scan (done here in pandas, not the generator)
+    probes = spark.read.parquet(f"{pages_dir}/probes.parquet").limit(10)
+    got = knn_join(spark, points, probes, k=5).toPandas()
+    pts = points.toPandas()
+    from fgcspark.crs import tm35fin as tm
+
+    pr = probes.toPandas()
+    pe, pn = tm.geodetic_to_tm35(pr["lon"].to_numpy(), pr["lat"].to_numpy())
+    for i, pid in enumerate(pr["probe_id"]):
+        d = np.hypot(pts["e"].to_numpy() - pe[i], pts["n"].to_numpy() - pn[i])
+        true_k = np.sort(d)[4]
+        eng_k = got[got["probe_id"] == pid]["dist"].max()
+        assert eng_k == pytest.approx(true_k, abs=1e-6)
+
+
+def test_knn_small_cells_still_exact(spark, pages_dir, points):
+    # force multi-ring expansion with a tiny cell size
+    probes = spark.read.parquet(f"{pages_dir}/probes.parquet").limit(5)
+    a = knn_join(spark, points, probes, k=3, cell_km=10).toPandas()
+    b = knn_join(spark, points, probes, k=3, cell_km=100).toPandas()
+    key = lambda d: set(map(tuple, d[["probe_id", "url"]].itertuples(index=False)))
+    assert key(a) == key(b)
