@@ -125,6 +125,48 @@ def _q_pip_counts(spark, sf_dir):
     )
 
 
+def _q_s2_cells(spark, sf_dir):
+    """S2-style 64-bit hierarchical cell ids (level 12 = 512 m) plus
+    their level-10 parents — pure integer arithmetic, no UDF."""
+    from fgcspark.cells import s2lite as s2
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir))
+    cid = s2.cell_id_col(F.col("e"), F.col("n"), 12)
+    return pts.select(
+        "url",
+        cid.alias("s2_l12"),
+        s2.parent_col(cid, 2).alias("s2_l10"),
+    )
+
+
+def _q_s2_cell_counts(spark, sf_dir):
+    return (
+        _q_s2_cells(spark, sf_dir)
+        .groupBy("s2_l10")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_chunked_resume(spark, sf_dir):
+    """Kill-and-resume lineage path (north_rule): run 3 of 8 chunks,
+    then resume in a fresh runner; the resumed output must equal the
+    straight-through pipeline (oracle = generator truth)."""
+    from fgcspark.checkpoint import ChunkedRunner
+    from fgcspark.pipeline import pages_to_points
+
+    d = _geo_dir(sf_dir)
+
+    def build(s):
+        return pages_to_points(s, d).select("url", "cell_10km")
+
+    out = f"{d}/_resume_out"
+    ChunkedRunner(spark, out, n_chunks=8).run(build, max_chunks=3)  # "killed"
+    runner = ChunkedRunner(spark, out, n_chunks=8)  # fresh driver resumes
+    runner.run(build)
+    return runner.read_output()
+
+
 def _q_knn(spark, sf_dir):
     from fgcspark.joins.knn import knn_join
     from fgcspark.pipeline import pages_to_points
@@ -278,6 +320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _q_pip,
         "pip_counts": _q_pip_counts,
         "knn_k5": _q_knn,
+        "s2_cells_l12": _q_s2_cells,
+        "s2_cell_counts_l10": _q_s2_cell_counts,
+        "chunked_resume": _q_chunked_resume,
         # reference relational semantics
         "facts_pivot": _q_facts_pivot,
         "latest_event_per_user": _q_latest_event,
@@ -363,6 +408,21 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_k5"] = (
         f"SELECT probe_id, url FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/knn.parquet')"
     )
+    # s2lite id arithmetic duplicated in SQL over the truth's E/N
+    # (encoding: level<<58 | ix<<29 | iy; root anchored at (0, 6e6))
+    _s2 = (
+        "({lvl}::BIGINT << 58) + (CAST(floor(e / {s}) AS BIGINT) << 29)"
+        " + CAST(floor((n - 6000000) / {s}) AS BIGINT)"
+    )
+    _l12 = _s2.format(lvl=12, s=512)
+    _l10 = _s2.format(lvl=10, s=2048)
+    sql["s2_cells_l12"] = (
+        f"SELECT url, {_l12} AS s2_l12, {_l10} AS s2_l10 FROM {_TR}"
+    )
+    sql["s2_cell_counts_l10"] = (
+        f"SELECT {_l10} AS s2_l10, count(*) AS n_docs FROM {_TR} GROUP BY 1"
+    )
+    sql["chunked_resume"] = f"SELECT url, cell_10km FROM {_TR}"
     # --- relational --------------------------------------------------------
     sql["facts_pivot"] = """
         SELECT user_id,
