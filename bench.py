@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+computation, no driver collect). Synthetic geo data generation is done
+before timing starts. `docs_per_sec` is the BASELINE.json headline:
+pages processed per second through the full spatial core
+(extract -> point -> project -> tile -> PIP join + tile counts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# flagship set: geo engine + reference relational semantics + training ops
+BENCH_QUERIES = [
+    "pages_extract_text",
+    "pages_points_wkt",
+    "pages_bbox_wkt",
+    "pages_footprint_types",
+    "pages_tiles",
+    "tile_counts_10km",
+    "tile_counts_10km_salted",
+    "s2_cell_counts_l10",
+    "pip_join",
+    "pip_counts",
+    "knn_k5",
+    "facts_pivot",
+    "latest_event_per_user",
+    "lineitem_agg",
+    "revenue_by_nation",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "langid",
+    "quality_signals",
+    "token_counts",
+    "doc_fingerprint",
+    "embed_neardup",
+    "ann_topk_ivf",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def spatial_core(spark, sf_dir: str):
+    """The headline job: one pass over pages -> points -> tiles,
+    PIP-joined against the broadcast polygon layer, plus tile counts."""
+    import __spark_entry__ as E
+    from fgcspark.joins.pip import pip_join
+    from fgcspark.pipeline import pages_to_points
+
+    d = E._geo_dir(sf_dir)
+    pts = pages_to_points(spark, d)
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    joined = pip_join(spark, pts.select("url", "e", "n"), polys)
+    _force(joined)
+    _force(
+        pts.groupBy("cell_10km").count()
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from fgcspark.session import get_spark
+
+    spark = get_spark("fgcspark-bench")
+
+    # data prep + JVM/Python-worker warm-up OUTSIDE the timed region
+    geo_dir = E._geo_dir(SF_DIR)
+    n_pages = spark.read.parquet(f"{geo_dir}/pages.parquet").count()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    from fgcspark.pipeline import pages_to_points
+
+    _force(pages_to_points(spark, geo_dir).select("url", "e"))
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    failures: dict[str, str] = {}
+
+    core_s = None
+    for _trial in range(2):
+        t_core0 = time.time()
+        spatial_core(spark, SF_DIR)
+        dt = time.time() - t_core0
+        core_s = dt if core_s is None else min(core_s, dt)
+    times["spatial_core"] = round(core_s, 3)
+
+    for name in BENCH_QUERIES:
+        try:
+            best = None
+            for _trial in range(2):
+                t0 = time.time()
+                _force(qs[name](spark, SF_DIR))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                # fast queries don't need a noise-reduction retrial
+                if dt < 5.0:
+                    break
+            times[name] = round(best, 3)
+        except Exception as ex:  # noqa: BLE001 - bench must always emit
+            failures[name] = str(ex)[:200]
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "fgcspark flagship suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / core_s, 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,7 @@ _EN = T.StructType(
 
 
 @pandas_udf(_LONLAT)
-def centroid_lonlat(wkt: pd.Series) -> pd.DataFrame:
+def _centroid_lonlat(wkt: pd.Series) -> pd.DataFrame:
     """G3 centroid fallback (reference R/finbif_geo_convert.R:182-200,
     555-561): planar centroid of the footprint WKT in its input frame.
     Null/unparseable/empty -> null."""
@@ -79,16 +79,27 @@ def centroid_lonlat(wkt: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(_EN)
-def lonlat_to_tm35(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+def _lonlat_to_tm35(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
     """G10 forward transform 4326 -> 3067, whole-batch numpy."""
     e, n = tm.geodetic_to_tm35(lon.to_numpy(), lat.to_numpy())
     return pd.DataFrame({"e": e, "n": n})
 
 
 @pandas_udf(_LONLAT)
-def tm35_to_lonlat(e: pd.Series, n: pd.Series) -> pd.DataFrame:
+def _tm35_to_lonlat(e: pd.Series, n: pd.Series) -> pd.DataFrame:
     lon, lat = tm.tm35_to_geodetic(e.to_numpy(), n.to_numpy())
     return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+# Marked nondeterministic on purpose (they are in fact deterministic):
+# it stops Catalyst pushing join-key null filters below the projection,
+# which would DUPLICATE the whole ArrowEvalPython chain — observed 4
+# UDF nodes instead of 2 and a ~7x slowdown of the PIP candidate join
+# at sf0.1. The trade (no filter pushdown through the UDF stage) is
+# cheap: every plan filters AFTER geometry materialization anyway.
+centroid_lonlat = _centroid_lonlat.asNondeterministic()
+lonlat_to_tm35 = _lonlat_to_tm35.asNondeterministic()
+tm35_to_lonlat = _tm35_to_lonlat.asNondeterministic()
 
 
 def _footprint_batch(

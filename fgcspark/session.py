@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("FGC_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local test/bench files are single small parquets; split them
+        # finely so scans feed every core. Cluster deploys override via
+        # spark-submit --conf (128m default is right for real HDFS/S3).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("FGC_MAX_PARTITION_BYTES", "2m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "262144")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -384,6 +384,9 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
 
     warc_ts = (np.datetime64("2021-06-08T00:00:00", "us") + (idx * 37).astype("timedelta64[s]"))
 
+    # small row groups so local Spark scans split the single file into
+    # enough input partitions to feed every core (a real CC crawl is
+    # thousands of files; this mimics that splittability at test scale)
     pq.write_table(
         pa.table(
             {
@@ -395,6 +398,7 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
             }
         ),
         out / "pages.parquet",
+        row_group_size=max(2000, n // 64),
     )
 
     # --- truth table ----------------------------------------------------
