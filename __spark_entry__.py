@@ -177,6 +177,65 @@ def _q_knn(spark, sf_dir):
     return knn_join(spark, pts, probes, k=5).select("probe_id", "url")
 
 
+def _q_raster_tiles(spark, sf_dir):
+    """Raster<->vector tile aggregation (north_rule): per 100 km cell,
+    the dense 10x10 raster of 10 km sub-cell counts, emitted in long
+    form (cell, sub_idx in 0..99, n_docs) — sub_idx = row-major index
+    of the 10 km cell inside its 100 km parent. Pure arithmetic."""
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir))
+    sub = (
+        F.pmod(F.floor(F.col("n") / 10000), F.lit(10)) * 10
+        + F.pmod(F.floor(F.col("e") / 10000), F.lit(10))
+    ).cast("int")
+    return (
+        pts.groupBy(F.col("cell_100km").alias("cell"), sub.alias("sub_idx"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_chunk_window(spark, sf_dir):
+    """Reference n/skip chunk window (S1, api.R:144-162) as a query:
+    rows 100..149 of the pages table in url order."""
+    from pyspark.sql import Window
+
+    from fgcspark.pipeline import load_pages
+
+    w = Window.orderBy("url")
+    return (
+        load_pages(spark, _geo_dir(sf_dir))
+        .select("url", "lang", F.row_number().over(w).alias("_rn"))
+        .where((F.col("_rn") > 100) & (F.col("_rn") <= 150))
+        .drop("_rn")
+    )
+
+
+def _q_occ_facts_join(spark, sf_dir):
+    """Citable-archive facts path (S1/S2/J1) with the reference's
+    Finnish fact whitelist (R/finbif_geo_convert.R:641-653): pivot the
+    long facts table, broadcast-join onto occurrence rows, sanitise
+    column names (P2)."""
+    from fgcspark.errors import sanitise_nms
+    from fgcspark.facts import join_facts
+    from fgcspark.synth.occ import WHITELIST, generate_occ
+
+    d = generate_occ(Path(_geo_dir(sf_dir)).name)
+    rows = spark.read.parquet(f"{d}/occ_rows.parquet")
+    facts = spark.read.parquet(f"{d}/occ_facts.parquet")
+    out = join_facts(rows, facts, WHITELIST, "occurrenceID", order_col="ord")
+    out = out.toDF(*sanitise_nms(out.columns))
+    # null-free projection so the driver's order-insensitive row sort is
+    # well-defined (absent fact -> '', absent count -> -1)
+    exprs = []
+    for c, t in out.dtypes:
+        if t == "string":
+            exprs.append(F.coalesce(F.col(c), F.lit("")).alias(c))
+        else:
+            exprs.append(F.coalesce(F.col(c), F.lit(-1)).alias(c))
+    return out.select(*exprs)
+
+
 # ---------------------------------------------------------------------------
 # relational / training-data queries (driver testdata views)
 # ---------------------------------------------------------------------------
@@ -323,6 +382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
         "chunked_resume": _q_chunked_resume,
+        "raster_tiles_100km": _q_raster_tiles,
+        "chunk_window": _q_chunk_window,
+        "occ_facts_join": _q_occ_facts_join,
         # reference relational semantics
         "facts_pivot": _q_facts_pivot,
         "latest_event_per_user": _q_latest_event,
@@ -423,6 +485,48 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {_l10} AS s2_l10, count(*) AS n_docs FROM {_TR} GROUP BY 1"
     )
     sql["chunked_resume"] = f"SELECT url, cell_10km FROM {_TR}"
+    sql["raster_tiles_100km"] = f"""
+        SELECT cell_100km AS cell,
+               CAST((CAST(floor(n / 10000) AS BIGINT) % 10) * 10
+                    + (CAST(floor(e / 10000) AS BIGINT) % 10) AS INT) AS sub_idx,
+               count(*) AS n_docs
+        FROM {_TR} GROUP BY 1, 2
+    """
+    sql["chunk_window"] = (
+        f"SELECT url, lang FROM {_TR} ORDER BY url LIMIT 50 OFFSET 100"
+    )
+    _OCC_R = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/occ_rows.parquet')"
+    _OCC_F = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/occ_facts.parquet')"
+    _FACTS = [
+        ("Havainnon laatu", "Havainnon_laatu"),
+        ("Havainnon maaran yksikko", "Havainnon_maaran_yksikko"),
+        (
+            "Museo, johon lajista keratty nayte on talletettu",
+            "Museo_johon_lajista_keratty_nayte_on_talletettu",
+        ),
+        ("Vesistoalue", "Vesistoalue"),
+        ("Sijainnin tarkkuusluokka", "Sijainnin_tarkkuusluokka"),
+        ("Pesintatulos", "Pesintatulos"),
+        ("Seurattava laji", "Seurattava_laji"),
+    ]
+    _pivot_cols = ",\n".join(
+        f"min_by(Value, ord) FILTER (WHERE Fact = '{raw}') AS {san}"
+        for raw, san in _FACTS
+    )
+    sql["occ_facts_join"] = f"""
+        SELECT r.occurrenceID, r.scientificName,
+               coalesce(r.individualCount, -1) AS individualCount,
+               r.eventDateTime, r.municipality,
+               r.coordinateUncertaintyInMeters,
+               {", ".join(f"coalesce(p.{san}, '') AS {san}" for _, san in _FACTS)}
+        FROM {_OCC_R} r
+        LEFT JOIN (
+            SELECT Parent, {_pivot_cols}
+            FROM {_OCC_F}
+            WHERE Fact IN ({", ".join("'" + raw + "'" for raw, _ in _FACTS)})
+            GROUP BY Parent
+        ) p ON r.occurrenceID = p.Parent
+    """
     # --- relational --------------------------------------------------------
     sql["facts_pivot"] = """
         SELECT user_id,

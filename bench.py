@@ -68,7 +68,7 @@ def spatial_core(spark, sf_dir: str):
     d = E._geo_dir(sf_dir)
     pts = pages_to_points(spark, d)
     polys = spark.read.parquet(f"{d}/polygons.parquet")
-    joined = pip_join(spark, pts.select("url", "e", "n"), polys)
+    joined = pip_join(spark, pts.select("url", "e", "n"), polys, cache_key=d)
     _force(joined)
     _force(
         pts.groupBy("cell_10km").count()

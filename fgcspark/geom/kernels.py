@@ -111,9 +111,12 @@ def bbox_polygon(g: Geom) -> Geom:
     return Geom(POLYGON, [ring])
 
 
-def _ring_area2_cx_cy(r: np.ndarray):
-    """(2*signed_area, centroid numerators) of one ring (open or closed)."""
-    x, y = r[:, 0], r[:, 1]
+def _ring_area2_cx_cy(r: np.ndarray, base=(0.0, 0.0)):
+    """(2*signed_area, centroid numerators) of one ring (open or
+    closed), computed relative to `base` — translating to a nearby
+    base point avoids the shoelace cancellation that wrecks thin
+    rings far from the origin (GEOS does the same)."""
+    x, y = r[:, 0] - base[0], r[:, 1] - base[1]
     if x[0] != x[-1] or y[0] != y[-1]:
         x = np.append(x, x[0])
         y = np.append(y, y[0])
@@ -170,19 +173,32 @@ def centroid(g: Geom):
             allc = np.concatenate(lines)
             return float(allc[:, 0].mean()), float(allc[:, 1].mean())
         return float(num[0] / den), float(num[1] / den)
-    # polygonal
+    # polygonal: each polygon's exterior orientation is normalized so
+    # shells always contribute positive area regardless of winding
+    # (GEOS is winding-insensitive for shells; holes stay subtractive
+    # because valid data winds them opposite to their shell)
     polys = [g.coords] if t == POLYGON else list(g.coords)
+    first = next((rings[0] for rings in polys if rings), None)
+    if first is None:
+        return None
+    base = (float(first[0][0]), float(first[0][1]))  # shared translation
     a2s, cxs, cys = 0.0, 0.0, 0.0
     for rings in polys:
+        if not rings:
+            continue
+        sign = 1.0
+        ext_a2, _, _ = _ring_area2_cx_cy(rings[0], base)
+        if ext_a2 < 0:
+            sign = -1.0
         for ring in rings:
-            a2, cx, cy = _ring_area2_cx_cy(ring)
-            a2s += a2
-            cxs += cx
-            cys += cy
+            a2, cx, cy = _ring_area2_cx_cy(ring, base)
+            a2s += sign * a2
+            cxs += sign * cx
+            cys += sign * cy
     if a2s == 0.0:
         allc = np.concatenate([r for r in _rings_of(g) if r.size])
         return float(allc[:, 0].mean()), float(allc[:, 1].mean())
-    return float(cxs / (3.0 * a2s)), float(cys / (3.0 * a2s))
+    return base[0] + float(cxs / (3.0 * a2s)), base[1] + float(cys / (3.0 * a2s))
 
 
 def _dim(t: str) -> int:

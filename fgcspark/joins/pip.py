@@ -96,21 +96,46 @@ def _pip_mask(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return crossing.sum(axis=1) % 2 == 1
 
 
+_INDEX_CACHE: dict = {}
+
+
+def cached_index(
+    spark: SparkSession, polygons: DataFrame, cell_km: int, cache_key: str
+):
+    """Build the polygon index + its broadcast once per (key, cell_km)
+    and reuse across jobs — the build side of this join is immutable
+    for the lifetime of a scan, so one driver-side build amortizes over
+    the entire (100 TB) probe table."""
+    k = (cache_key, cell_km)
+    if k not in _INDEX_CACHE:
+        idx = build_polygon_index(spark, polygons, cell_km)
+        bc = spark.sparkContext.broadcast(
+            {int(p): (r, b) for p, r, b in zip(idx.poly_ids, idx.rings, idx.bboxes)}
+        )
+        _INDEX_CACHE[k] = (idx, bc)
+    return _INDEX_CACHE[k]
+
+
 def pip_join(
     spark: SparkSession,
     points: DataFrame,
     polygons: DataFrame,
     cell_km: int = DEFAULT_CELL_KM,
     key_col: str = "url",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exact PIP join: returns (key_col, poly_id) rows.
 
     `points` must carry EPSG:3067 `e`/`n` columns (pipeline.with_tm35).
+    Pass cache_key to reuse the driver-built index across jobs.
     """
-    idx = build_polygon_index(spark, polygons, cell_km)
-    bc = spark.sparkContext.broadcast(
-        {int(p): (r, b) for p, r, b in zip(idx.poly_ids, idx.rings, idx.bboxes)}
-    )
+    if cache_key is not None:
+        idx, bc = cached_index(spark, polygons, cell_km, cache_key)
+    else:
+        idx = build_polygon_index(spark, polygons, cell_km)
+        bc = spark.sparkContext.broadcast(
+            {int(p): (r, b) for p, r, b in zip(idx.poly_ids, idx.rings, idx.bboxes)}
+        )
 
     cover = spark.createDataFrame(
         idx.cover(), schema="cell_n long, cell_e long, poly_id long"

