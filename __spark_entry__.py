@@ -177,6 +177,19 @@ def _q_knn(spark, sf_dir):
     return knn_join(spark, pts, probes, k=5).select("probe_id", "url")
 
 
+def _q_streamed_points(spark, sf_dir):
+    """Structured Streaming ingest (file source, AvailableNow): drains
+    the pages dir as micro-batches through the same extract/geometry
+    pipeline; exactly-once via the stream checkpoint. Output must equal
+    the batch truth."""
+    from fgcspark.streaming.ingest import ingest_points
+
+    d = _geo_dir(sf_dir)
+    out, ck = f"{d}/_stream_out", f"{d}/_stream_ck"
+    ingest_points(spark, d, out, ck, glob="pages.parquet")
+    return spark.read.parquet(out).select("url", "cell_10km")
+
+
 def _q_raster_tiles(spark, sf_dir):
     """Raster<->vector tile aggregation (north_rule): per 100 km cell,
     the dense 10x10 raster of 10 km sub-cell counts, emitted in long
@@ -385,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles_100km": _q_raster_tiles,
         "chunk_window": _q_chunk_window,
         "occ_facts_join": _q_occ_facts_join,
+        "streamed_points": _q_streamed_points,
         # reference relational semantics
         "facts_pivot": _q_facts_pivot,
         "latest_event_per_user": _q_latest_event,
@@ -495,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
     sql["chunk_window"] = (
         f"SELECT url, lang FROM {_TR} ORDER BY url LIMIT 50 OFFSET 100"
     )
+    sql["streamed_points"] = f"SELECT url, cell_10km FROM {_TR}"
     _OCC_R = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/occ_rows.parquet')"
     _OCC_F = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/occ_facts.parquet')"
     _FACTS = [
