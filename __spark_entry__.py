@@ -337,6 +337,38 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10, centroid_mod=50, nprobe=2)
 
 
+def _q_media_meta(spark, sf_dir):
+    from fgcspark.multimodal import media_metadata
+    from fgcspark.pipeline import load_pages
+
+    return media_metadata(load_pages(spark, _geo_dir(sf_dir)))
+
+
+def _q_media_decode(spark, sf_dir):
+    from fgcspark.multimodal import decode_image_stub
+    from fgcspark.pipeline import load_pages
+
+    return decode_image_stub(load_pages(spark, _geo_dir(sf_dir))).select(
+        "url", "width", "height", "channels"
+    )
+
+
+def _q_media_resize(spark, sf_dir):
+    from fgcspark.multimodal import decode_image_stub, resize_stub
+    from fgcspark.pipeline import load_pages
+
+    return resize_stub(
+        decode_image_stub(load_pages(spark, _geo_dir(sf_dir))), max_side=256
+    ).select("url", "out_width", "out_height")
+
+
+def _q_media_frames(spark, sf_dir):
+    from fgcspark.multimodal import sample_frames_stub
+    from fgcspark.pipeline import load_pages
+
+    return sample_frames_stub(load_pages(spark, _geo_dir(sf_dir)))
+
+
 def _q_lineitem_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -414,6 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_tokens,
         "doc_fingerprint": _q_fingerprint,
         "embed_neardup": _q_embed_neardup,
+        "media_metadata": _q_media_meta,
+        "media_decode_stub": _q_media_decode,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         "ann_topk_brute": _q_ann_topk,
         "ann_topk_ivf": _q_ann_ivf,
     }
@@ -541,6 +577,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE Fact IN ({", ".join("'" + raw + "'" for raw, _ in _FACTS)})
             GROUP BY Parent
         ) p ON r.occurrenceID = p.Parent
+    """
+    # --- multimodal binary ops (pages html = the opaque blob) --------------
+    _PG = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pages.parquet')"
+    _MD5 = "md5(decode(html))"  # html is ASCII, so char ops == byte ops
+    sql["media_metadata"] = f"""
+        SELECT url, octet_length(html) AS n_bytes,
+               CAST(1 + octet_length(html) % 640 AS INT) AS width,
+               CAST(1 + CAST(concat('0x', substring({_MD5}, 1, 2)) AS BIGINT) % 480 AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(concat('0x', substring({_MD5}, 1, 14)) AS BIGINT) AS fp
+        FROM {_PG}
+    """
+    sql["media_decode_stub"] = f"""
+        SELECT url,
+               CAST(1 + octet_length(html) % 640 AS INT) AS width,
+               CAST(1 + CAST(concat('0x', substring({_MD5}, 1, 2)) AS BIGINT) % 480 AS INT) AS height,
+               CAST(3 AS INT) AS channels
+        FROM {_PG}
+    """
+    sql["media_resize"] = f"""
+        WITH d AS (
+            SELECT url,
+                   1 + octet_length(html) % 640 AS w,
+                   1 + CAST(concat('0x', substring({_MD5}, 1, 2)) AS BIGINT) % 480 AS h
+            FROM {_PG}
+        )
+        SELECT url,
+               CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                    ELSE greatest(CAST(floor(w * (256.0 / greatest(w, h))) AS BIGINT), 1) END AS INT) AS out_width,
+               CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                    ELSE greatest(CAST(floor(h * (256.0 / greatest(w, h))) AS BIGINT), 1) END AS INT) AS out_height
+        FROM d
+    """
+    sql["media_frames"] = f"""
+        SELECT url, CAST(k AS INT) AS frame_idx,
+               md5(substring(decode(html), CAST(k * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        FROM {_PG}, range(0, 8) r(k)
+        WHERE k < least(8, CAST(floor(octet_length(html) / 64) AS BIGINT))
     """
     # --- relational --------------------------------------------------------
     sql["facts_pivot"] = """

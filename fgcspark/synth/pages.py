@@ -39,7 +39,14 @@ import pyarrow.parquet as pq
 from fgcspark.crs import tm35fin as tm
 
 SEED = 42
-SCALE_ROWS = {"sf0.001": 2000, "sf0.01": 10000, "sf0.1": 100000, "sf1": 1000000, "sf4": 4000000}
+SCALE_ROWS = {
+    "sf0.001": 2000,
+    "sf0.01": 10000,
+    "sf0.1": 100000,
+    "sf1": 1000000,
+    "sf4": 4000000,
+    "sf16": 16000000,
+}
 DATA_DIR = Path(os.environ.get("FGC_DATA_DIR", "/root/repo/data"))
 
 # Finland-ish working window in EPSG:3067 (1 km inset from round numbers)
