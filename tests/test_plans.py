@@ -1,0 +1,98 @@
+"""Physical-plan regression tests.
+
+At 100 TB the *shape* of the plan is the performance contract: one
+Arrow UDF stage (not N duplicated ones), broadcast joins on the probe
+path (no shuffle), column pruning through the UDF barrier down to the
+scan, map-side partial aggregation, and predicate pushdown into
+parquet. These asserts pin the shapes so a refactor that silently
+degrades them (e.g. the 7x ArrowEvalPython duplication fixed in
+71d9a0a) fails fast."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def pts(spark, pages_dir):
+    from fgcspark.pipeline import pages_to_points
+
+    return pages_to_points(spark, pages_dir)
+
+
+def test_single_udf_stage_in_point_path(pts):
+    """pages_to_points must run exactly ONE ArrowEvalPython node — the
+    fused point+project kernel. Catalyst re-expansion of the struct into
+    per-column UDF copies is the regression this guards against."""
+    plan = plan_of(pts.select("url", "e", "n", "cell_10km"))
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count physical nodes by their "(id) Name" lines
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
+def test_column_pruning_reaches_scan(pts):
+    """A 2-column projection must scan only what extraction needs
+    (url + html), not the full page row."""
+    plan = plan_of(pts.select("url", "cell_10km"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"url", "html"}
+
+
+def test_pip_join_is_broadcast_no_shuffle(spark, pts, pages_dir):
+    from fgcspark.joins.pip import pip_join
+
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    plan = plan_of(pip_join(spark, pts.select("url", "e", "n"), polys))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchange allowed on this path is the broadcast itself —
+    # a bare "Exchange" node is a shuffle (BroadcastExchange is not)
+    assert not re.findall(r"\(\d+\) Exchange\b", plan)
+
+
+def test_tile_counts_partial_aggregation(spark, pages_dir):
+    from fgcspark.pipeline import tile_counts
+
+    plan = plan_of(tile_counts(spark, pages_dir, size_km=10))
+    # partial (map-side) + final HashAggregate around exactly one shuffle
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_predicate_pushdown_to_parquet(spark, pages_dir):
+    df = (
+        spark.read.parquet(f"{pages_dir}/pages.parquet")
+        .filter(F.col("lang") == "fi")
+        .select("url")
+    )
+    plan = plan_of(df)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,fi\)", plan), plan
+
+
+def test_media_metadata_stays_jvm_side(spark, pages_dir):
+    """media_metadata is contractually built-in-function only: no
+    Python evaluation node may appear in its plan."""
+    from fgcspark.multimodal import media_metadata
+
+    plan = plan_of(media_metadata(spark.read.parquet(f"{pages_dir}/pages.parquet")))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_extraction_stays_jvm_side(spark, pages_dir):
+    from fgcspark.extract import with_extracted
+
+    df = with_extracted(spark.read.parquet(f"{pages_dir}/pages.parquet"))
+    plan = plan_of(df.select("url", "extracted_text", "lat", "lon"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted mode marks codegen membership per node
+    assert "codegen id" in plan
