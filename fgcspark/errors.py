@@ -50,6 +50,19 @@ def sanitise_id(x: str) -> dict:
     return {"file": f"https://tun.fi/{x}", "name": x}
 
 
+def conversion_id(name: str, request: str, salt: str = "") -> str:
+    """G17 conversion-id hashing (reference api.R:89-93:
+    `{name}-{xxhash32(req, rand)}`). Deterministic variant — the salt
+    replaces the reference's random seed so resumable runs re-derive
+    the same id for the same (name, request); pass a fresh salt for
+    reference-faithful uniqueness."""
+    import struct
+    import zlib
+
+    h = zlib.crc32(f"{request}\x00{salt}".encode()) & 0xFFFFFFFF
+    return f"{name}-{struct.pack('>I', h).hex()}"
+
+
 def sanitise_nms(names: list[str]) -> list[str]:
     """P2 column-name sanitization (reference
     R/finbif_geo_convert.R:97-105): whitespace -> '_', strip other

@@ -57,3 +57,13 @@ def test_sanitise_nms():
         "WGS84_N",
         "abc",
     ]
+
+
+def test_conversion_id_deterministic():
+    from fgcspark.errors import conversion_id
+
+    a = conversion_id("HBF.53254", "geo=point&crs=wgs84")
+    assert a == conversion_id("HBF.53254", "geo=point&crs=wgs84")
+    assert a.startswith("HBF.53254-") and len(a.split("-")[-1]) == 8
+    assert a != conversion_id("HBF.53254", "geo=bbox&crs=wgs84")
+    assert a != conversion_id("HBF.53254", "geo=point&crs=wgs84", salt="x")
