@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "embed_neardup",
     "ann_topk_ivf",
+    "media_metadata",
+    "media_frames",
 ]
 
 
@@ -79,6 +81,10 @@ def main() -> None:
     import __spark_entry__ as E
     from fgcspark.session import get_spark
 
+    # the sf0.1 bench inputs are ~10 MB single files: split them finely
+    # enough that the scan feeds all 32 cores (6 partitions at the 2m
+    # default left 26 cores idle and tripled spatial_core wall time)
+    os.environ.setdefault("FGC_MAX_PARTITION_BYTES", "256k")
     spark = get_spark("fgcspark-bench")
 
     # data prep + JVM/Python-worker warm-up OUTSIDE the timed region
