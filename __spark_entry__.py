@@ -337,6 +337,27 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10, centroid_mod=50, nprobe=2)
 
 
+def _q_iceberg_pruned(spark, sf_dir):
+    """Iceberg-layout table scan (input_hint: "Iceberg table of pages"):
+    append pages into the snapshot/manifest layout (idempotent), then a
+    url-range query resolved through manifest min/max file pruning plus
+    the exact predicate — lang counts over the pruned range."""
+    from fgcspark.io.iceberg_lite import IcebergLiteTable
+
+    d = _geo_dir(sf_dir)
+    t = IcebergLiteTable(f"{d}/_iceberg_tbl")
+    if t.current_snapshot_id() is None:
+        pages = spark.read.parquet(f"{d}/pages.parquet")
+        t.append(pages.repartitionByRange(8, "url"), stat_cols=["url"])
+    lo, hi = "https://site2", "https://site5"
+    return (
+        t.read(spark, pruning={"url": (lo, hi)})
+        .where(F.col("url").between(lo, hi))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
 def _q_media_meta(spark, sf_dir):
     from fgcspark.multimodal import media_metadata
     from fgcspark.pipeline import load_pages
@@ -446,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_tokens,
         "doc_fingerprint": _q_fingerprint,
         "embed_neardup": _q_embed_neardup,
+        "iceberg_pruned_scan": _q_iceberg_pruned,
         "media_metadata": _q_media_meta,
         "media_decode_stub": _q_media_decode,
         "media_resize": _q_media_resize,
@@ -580,6 +602,11 @@ def oracle_sql() -> dict[str, str]:
     """
     # --- multimodal binary ops (pages html = the opaque blob) --------------
     _PG = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pages.parquet')"
+    sql["iceberg_pruned_scan"] = f"""
+        SELECT lang, count(*) AS n_pages FROM {_PG}
+        WHERE url BETWEEN 'https://site2' AND 'https://site5'
+        GROUP BY 1
+    """
     _MD5 = "md5(decode(html))"  # html is ASCII, so char ops == byte ops
     sql["media_metadata"] = f"""
         SELECT url, octet_length(html) AS n_bytes,

@@ -1,0 +1,183 @@
+"""Iceberg-layout table directory: parquet data files + JSON snapshot
+manifests, giving snapshot isolation + file-level pruning semantics.
+
+The authoritative input (BASELINE.json input_hint) is "an Iceberg table
+of Common-Crawl-style pages". No Iceberg runtime jar exists in this
+container (SURVEY.md §7.0), so this module implements the *semantics*
+the engine needs from Iceberg, in Iceberg's own layout style:
+
+  table/
+    data/part-<uuid>.parquet          immutable data files
+    metadata/snap-<n>.json            manifest: file list + per-file
+                                      column min/max stats + row counts
+    metadata/version-hint.text        current snapshot number
+
+- writes are append-only: a commit writes new data files, then a new
+  snapshot listing old + new files, then flips the version hint
+  (atomic rename) — readers of snapshot n never see a torn commit;
+- reads resolve a snapshot (time-travel by number) and hand Spark an
+  explicit file list, pruned by predicate against the manifest's
+  min/max stats BEFORE the scan — the same file-skipping a real
+  Iceberg `planFiles` does, so at 100 TB a cell-range or lang
+  predicate touches only matching files;
+- schema travels in the manifest and is asserted on append.
+
+This is NOT the Iceberg spec (no avro manifests, no deletes, no
+schema evolution); it is the documented stand-in for the subset the
+north_rule exercises: snapshot-isolated resumable scans with partition
+/ file pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+_STATS_MAX_LEN = 64
+
+
+def _file_stats(path: str, stat_cols: list[str]) -> dict:
+    md = pq.ParquetFile(path).metadata
+    schema = md.schema.to_arrow_schema()
+    idx = {schema.names[i]: i for i in range(len(schema.names))}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for c in stat_cols:
+        if c not in idx:
+            continue
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo, hi = None, None
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if lo is not None:
+            if isinstance(lo, str):
+                lo, hi = lo[:_STATS_MAX_LEN], hi[:_STATS_MAX_LEN]
+            mins[c] = lo
+            maxs[c] = hi
+    return {"rows": md.num_rows, "min": mins, "max": maxs}
+
+
+class IcebergLiteTable:
+    def __init__(self, path: str):
+        self.root = Path(path)
+        self.data_dir = self.root / "data"
+        self.meta_dir = self.root / "metadata"
+
+    # -- snapshot resolution ------------------------------------------------
+
+    def current_snapshot_id(self) -> int | None:
+        hint = self.meta_dir / "version-hint.text"
+        if not hint.exists():
+            return None
+        return int(hint.read_text().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        return json.loads((self.meta_dir / f"snap-{sid}.json").read_text())
+
+    def history(self) -> list[int]:
+        return sorted(
+            int(p.stem.split("-")[1]) for p in self.meta_dir.glob("snap-*.json")
+        )
+
+    # -- write --------------------------------------------------------------
+
+    def append(self, df: DataFrame, stat_cols: list[str] | None = None) -> int:
+        """Append df as new data files + a new snapshot; returns the new
+        snapshot id. Commit order: data files -> snapshot json -> atomic
+        version-hint flip, so concurrent readers always see a complete
+        snapshot."""
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.meta_dir.mkdir(parents=True, exist_ok=True)
+        prev_id = self.current_snapshot_id()
+        prev = self.snapshot(prev_id) if prev_id is not None else None
+        if prev is not None and prev["schema"] != df.schema.jsonValue():
+            raise ValueError("schema mismatch vs table snapshot")
+        stat_cols = stat_cols or (prev["stat_cols"] if prev else df.columns[:1])
+
+        staging = self.root / f"_staging-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(staging))
+        new_files = []
+        for p in sorted(staging.glob("*.parquet")):
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(p, self.data_dir / name)
+            new_files.append(
+                {"path": f"data/{name}", **_file_stats(str(self.data_dir / name), stat_cols)}
+            )
+        for leftover in staging.glob("*"):
+            leftover.unlink()
+        staging.rmdir()
+
+        new_id = (prev_id or 0) + 1
+        snap = {
+            "snapshot_id": new_id,
+            "parent": prev_id,
+            "schema": df.schema.jsonValue(),
+            "stat_cols": stat_cols,
+            "files": (prev["files"] if prev else []) + new_files,
+        }
+        (self.meta_dir / f"snap-{new_id}.json").write_text(json.dumps(snap, indent=1))
+        tmp = self.meta_dir / "version-hint.tmp"
+        tmp.write_text(str(new_id))
+        os.replace(tmp, self.meta_dir / "version-hint.text")  # the commit point
+        return new_id
+
+    # -- read ---------------------------------------------------------------
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        pruning: dict[str, tuple] | None = None,
+    ) -> list[dict]:
+        """Manifest-level file pruning: keep files whose [min,max] range
+        for each pruned column intersects the requested [lo,hi] (None =
+        unbounded). Files without stats for a column are kept (safe)."""
+        files = self.snapshot(snapshot_id)["files"]
+        if not pruning:
+            return files
+        kept = []
+        for f in files:
+            ok = True
+            for col, (lo, hi) in pruning.items():
+                fmin = f["min"].get(col)
+                fmax = f["max"].get(col)
+                if fmin is None:
+                    continue
+                if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        return kept
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        pruning: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        files = self.plan_files(snapshot_id, pruning)
+        if not files:
+            # empty selection keeps the snapshot schema
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(self.snapshot(snapshot_id)["schema"])
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*[str(self.root / f["path"]) for f in files])
+
+    def total_rows(self, snapshot_id: int | None = None) -> int:
+        return sum(f["rows"] for f in self.snapshot(snapshot_id)["files"])

@@ -1,0 +1,86 @@
+"""Iceberg-layout table dir (fgcspark/io/iceberg_lite.py): snapshot
+isolation, append commits, time travel, manifest min/max file pruning.
+
+This is the documented stand-in for the north_rule's "Iceberg tables"
+(no Iceberg runtime jar in-container, SURVEY.md §7.0)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fgcspark.io.iceberg_lite import IcebergLiteTable
+
+
+@pytest.fixture(scope="module")
+def table(spark, pages_dir, tmp_path_factory):
+    t = IcebergLiteTable(str(tmp_path_factory.mktemp("icb") / "pages_tbl"))
+    pages = spark.read.parquet(f"{pages_dir}/pages.parquet")
+    # range-partition by url so per-file min/max ranges are disjoint and
+    # pruning actually skips files
+    first = pages.where(F.col("lang") != "en").repartitionByRange(6, "url")
+    second = pages.where(F.col("lang") == "en").repartitionByRange(2, "url")
+    t.append(first, stat_cols=["url", "lang"])
+    t.append(second)
+    return t
+
+
+def test_snapshot_history_and_time_travel(spark, table, pages_dir):
+    pages = spark.read.parquet(f"{pages_dir}/pages.parquet")
+    n_total = pages.count()
+    n_first = pages.where(F.col("lang") != "en").count()
+    assert table.history() == [1, 2]
+    assert table.current_snapshot_id() == 2
+    assert table.read(spark).count() == n_total == table.total_rows()
+    # snapshot 1 still sees only the first commit
+    assert table.read(spark, snapshot_id=1).count() == n_first == table.total_rows(1)
+
+
+def test_manifest_pruning_skips_files(spark, table):
+    all_files = table.plan_files()
+    pruned = table.plan_files(pruning={"url": ("https://site0.example/", "https://site1.example/￿")})
+    assert len(pruned) < len(all_files)
+    lo, hi = "https://site0.example/", "https://site1.example/￿"
+    got = (
+        table.read(spark, pruning={"url": (lo, hi)})
+        .where(F.col("url").between(lo, hi))
+        .count()
+    )
+    want = table.read(spark).where(F.col("url").between(lo, hi)).count()
+    assert got == want > 0
+
+
+def test_pruning_is_safe_superset(spark, table):
+    """Pruned read + exact filter == full read + exact filter for any
+    range, including ones that straddle file boundaries."""
+    for lo, hi in [("https://site5", "https://site7"), ("z", None), (None, "a")]:
+        pred = F.lit(True)
+        if lo:
+            pred = pred & (F.col("url") >= lo)
+        if hi:
+            pred = pred & (F.col("url") <= hi)
+        a = table.read(spark, pruning={"url": (lo, hi)}).where(pred).count()
+        b = table.read(spark).where(pred).count()
+        assert a == b
+
+
+def test_schema_mismatch_rejected(spark, table):
+    bad = spark.range(3).select(F.col("id").alias("url"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(bad)
+
+
+def test_torn_commit_invisible(spark, table, tmp_path):
+    """A crash after writing the snapshot json but before the hint flip
+    must leave readers on the previous snapshot."""
+    cur = table.current_snapshot_id()
+    snap = json.loads((table.meta_dir / f"snap-{cur}.json").read_text())
+    fake = dict(snap, snapshot_id=cur + 1, parent=cur)
+    (table.meta_dir / f"snap-{cur + 1}.json").write_text(json.dumps(fake))
+    try:
+        assert table.current_snapshot_id() == cur  # hint not flipped
+        assert table.read(spark).count() == table.total_rows(cur)
+    finally:
+        (table.meta_dir / f"snap-{cur + 1}.json").unlink()
