@@ -1,0 +1,168 @@
+"""spark-submit entry point.
+
+Deploy story per BASELINE.json: `spark-submit --py-files fgcspark.zip
+fgcspark/cli.py <job> ...` on a multi-executor cluster; locally the
+same commands run on local[N]. The reference's HTTP API surface
+(GET /{input}/{fmt}/{geo}/{crs} + /status + /output, api.R:75-412)
+maps onto: `convert` = the conversion pipeline, `status` = the chunk
+manifest (progress deciles + per-chunk lineage/metrics), resumable
+re-invocation = just running `convert --resume` again.
+
+Examples:
+  python -m fgcspark.cli convert --input data/sf0.001 --output /tmp/out \
+      --geo footprint --crs euref --format geojson
+  python -m fgcspark.cli tiles --input data/sf0.001 --size-km 10
+  python -m fgcspark.cli pip --input data/sf0.001
+  python -m fgcspark.cli convert --input data/sf0.001 --output /tmp/out --resume
+  python -m fgcspark.cli status --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from fgcspark.session import get_spark
+
+    return get_spark("fgcspark-cli", cores=args.cores)
+
+
+def cmd_convert(args) -> int:
+    from fgcspark.checkpoint import ChunkedRunner
+    from fgcspark.pipeline import geo_pipeline, write_layered
+    from fgcspark.sinks import write_geojson_layers
+
+    spark = _spark(args)
+    if args.resume:
+        runner = ChunkedRunner(spark, args.output, n_chunks=args.chunks)
+        summary = runner.run(
+            lambda s: geo_pipeline(s, args.input, geo=args.geo, crs=args.crs)
+        )
+        print(json.dumps(summary))
+        return 0
+    df = geo_pipeline(spark, args.input, geo=args.geo, crs=args.crs)
+    if args.format == "geojson":
+        paths = write_geojson_layers(df, args.output, args.basename)
+        print(json.dumps({"layers": paths}))
+    else:
+        write_layered(df, args.output)
+        print(json.dumps({"output": args.output, "format": "parquet"}))
+    return 0
+
+
+def cmd_tiles(args) -> int:
+    from fgcspark.pipeline import tile_counts
+
+    spark = _spark(args)
+    df = tile_counts(spark, args.input, size_km=args.size_km)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output}))
+    else:
+        for r in df.orderBy("cell").limit(args.limit).collect():
+            print(f"{r['cell']}\t{r['n_docs']}")
+    return 0
+
+
+def cmd_pip(args) -> int:
+    from fgcspark.joins.pip import pip_join
+    from fgcspark.pipeline import pages_to_points
+
+    spark = _spark(args)
+    pts = pages_to_points(spark, args.input).select("url", "e", "n")
+    polys = spark.read.parquet(args.polygons or f"{args.input}/polygons.parquet")
+    df = pip_join(spark, pts, polys)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output}))
+    else:
+        print(json.dumps({"matches": df.count()}))
+    return 0
+
+
+def cmd_knn(args) -> int:
+    from fgcspark.joins.knn import knn_join
+    from fgcspark.pipeline import pages_to_points
+
+    spark = _spark(args)
+    pts = pages_to_points(spark, args.input).select("url", "e", "n")
+    probes = spark.read.parquet(args.probes or f"{args.input}/probes.parquet")
+    df = knn_join(spark, pts, probes, k=args.k)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output}))
+    else:
+        print(json.dumps({"rows": df.count()}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    """Reference /status/{id} twin (api.R:288-386) over the manifest."""
+    from fgcspark.checkpoint import ChunkedRunner
+
+    spark = _spark(args)
+    runner = ChunkedRunner(spark, args.output, n_chunks=args.chunks)
+    print(
+        json.dumps(
+            {
+                "progress_percent": runner.progress_percent(),
+                "chunks": runner.metrics(),
+            }
+        )
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fgcspark")
+    p.add_argument("--cores", type=int, default=None, help="local[N]; omit on a cluster")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="geo conversion pipeline (point|bbox|footprint)")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--geo", default="point", choices=["point", "bbox", "footprint"])
+    c.add_argument("--crs", default="wgs84", choices=["wgs84", "euref"])
+    c.add_argument("--format", default="parquet", choices=["parquet", "geojson"])
+    c.add_argument("--basename", default="fgc_geo")
+    c.add_argument("--resume", action="store_true", help="chunked resumable run")
+    c.add_argument("--chunks", type=int, default=16)
+    c.set_defaults(fn=cmd_convert)
+
+    t = sub.add_parser("tiles", help="docs per FinBIF grid tile")
+    t.add_argument("--input", required=True)
+    t.add_argument("--output")
+    t.add_argument("--size-km", type=int, default=10, choices=[1, 10, 50, 100])
+    t.add_argument("--limit", type=int, default=20)
+    t.set_defaults(fn=cmd_tiles)
+
+    j = sub.add_parser("pip", help="point-in-polygon join")
+    j.add_argument("--input", required=True)
+    j.add_argument("--polygons")
+    j.add_argument("--output")
+    j.set_defaults(fn=cmd_pip)
+
+    k = sub.add_parser("knn", help="k nearest pages per probe")
+    k.add_argument("--input", required=True)
+    k.add_argument("--probes")
+    k.add_argument("--output")
+    k.add_argument("-k", type=int, default=5)
+    k.set_defaults(fn=cmd_knn)
+
+    s = sub.add_parser("status", help="chunked-run progress + lineage")
+    s.add_argument("--output", required=True)
+    s.add_argument("--chunks", type=int, default=16)
+    s.set_defaults(fn=cmd_status)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,6 +68,16 @@ def geojson_geometry(g: Geom) -> dict:
     return {"type": t, "coordinates": _coords(g.coords)}
 
 
+def _json_prop(v):
+    """GeoJSON property coercion: timestamps -> ISO strings, raw bytes
+    -> hex (GDAL renders GPKG BLOB columns the same way)."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 def layer_name(basename: str, gtype: str) -> str:
     """Reference layer naming (R/finbif_geo_convert.R:596-599,624):
     dots -> underscores in the basename; type lower-cased with the
@@ -105,7 +115,7 @@ def write_geojson_layers(
         feat = {
             "type": "Feature",
             "geometry": geojson_geometry(parse_wkt(r[wkt_col])),
-            "properties": {c: r[c] for c in prop_cols},
+            "properties": {c: _json_prop(r[c]) for c in prop_cols},
         }
         layers.setdefault(r[type_col], []).append(feat)
     paths: dict[str, str] = {}
