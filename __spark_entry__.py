@@ -208,6 +208,29 @@ def _q_raster_tiles(spark, sf_dir):
     )
 
 
+def _q_raster_dense(spark, sf_dir):
+    """vector -> raster: per 100 km cell the dense 10x10 array of 10 km
+    sub-cell counts (tiles.raster_assemble), emitted CSV-joined so the
+    oracle compare is a plain string column."""
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.tiles import raster_assemble
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir))
+    r = raster_assemble(pts.select("cell_100km", "e", "n"))
+    return r.select("cell", F.array_join("raster", ",").alias("raster_csv"))
+
+
+def _q_raster_roundtrip(spark, sf_dir):
+    """raster -> vector inverse: exploding the dense rasters back must
+    reproduce the sparse long form exactly (same oracle as
+    raster_tiles_100km)."""
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.tiles import raster_assemble, raster_to_vector
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir))
+    return raster_to_vector(raster_assemble(pts.select("cell_100km", "e", "n")))
+
+
 def _q_chunk_window(spark, sf_dir):
     """Reference n/skip chunk window (S1, api.R:144-162) as a query:
     rows 100..149 of the pages table in url order."""
@@ -449,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_counts_l10": _q_s2_cell_counts,
         "chunked_resume": _q_chunked_resume,
         "raster_tiles_100km": _q_raster_tiles,
+        "raster_dense_100km": _q_raster_dense,
+        "raster_roundtrip_100km": _q_raster_roundtrip,
         "chunk_window": _q_chunk_window,
         "occ_facts_join": _q_occ_facts_join,
         "streamed_points": _q_streamed_points,
@@ -564,6 +589,22 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs
         FROM {_TR} GROUP BY 1, 2
     """
+    sql["raster_dense_100km"] = f"""
+        WITH sparse AS (
+            SELECT cell_100km AS cell,
+                   CAST((CAST(floor(n / 10000) AS BIGINT) % 10) * 10
+                        + (CAST(floor(e / 10000) AS BIGINT) % 10) AS INT) AS i,
+                   count(*) AS cnt
+            FROM {_TR} GROUP BY 1, 2
+        )
+        SELECT c.cell,
+               array_to_string(list(coalesce(s.cnt, 0) ORDER BY idx.k), ',') AS raster_csv
+        FROM (SELECT DISTINCT cell FROM sparse) c
+        CROSS JOIN range(0, 100) idx(k)
+        LEFT JOIN sparse s ON s.cell = c.cell AND s.i = idx.k
+        GROUP BY c.cell
+    """
+    sql["raster_roundtrip_100km"] = sql["raster_tiles_100km"]
     sql["chunk_window"] = (
         f"SELECT url, lang FROM {_TR} ORDER BY url LIMIT 50 OFFSET 100"
     )

@@ -105,3 +105,26 @@ def test_pipeline_plan_has_pushdown(spark, pages_dir):
     df = pages_to_points(spark, pages_dir).select("url", "cell_10km")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" not in plan or "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_raster_assemble_dense_roundtrip(spark, pages_dir):
+    """tiles.raster_assemble: dense 100-slot arrays whose non-zero
+    slots equal the sparse counts; raster_to_vector inverts exactly."""
+    from pyspark.sql import functions as F
+
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.tiles import raster_assemble, raster_to_vector
+
+    pts = pages_to_points(spark, pages_dir).select("cell_100km", "e", "n")
+    dense = raster_assemble(pts)
+    rows = dense.collect()
+    assert all(len(r["raster"]) == 100 for r in rows)
+    assert sum(sum(r["raster"]) for r in rows) == pts.count()
+    back = raster_to_vector(dense)
+    sparse = (
+        pts.groupBy(F.col("cell_100km").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_cell = back.groupBy("cell").agg(F.sum("n_docs").alias("n"))
+    assert per_cell.exceptAll(sparse).count() == 0
+    assert sparse.exceptAll(per_cell).count() == 0
