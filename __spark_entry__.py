@@ -343,9 +343,9 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_embed_neardup(spark, sf_dir):
-    from fgcspark.sim import embedding_neardup_pairs
+    from fgcspark.sim import embedding_neardup_pairs_vec
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), tau=0.4)
+    return embedding_neardup_pairs_vec(_t(spark, sf_dir, "embeddings"), tau=0.4)
 
 
 def _q_ann_topk(spark, sf_dir):

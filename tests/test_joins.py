@@ -87,3 +87,15 @@ def test_knn_small_cells_still_exact(spark, pages_dir, points):
     b = knn_join(spark, points, probes, k=3, cell_km=100).toPandas()
     key = lambda d: set(map(tuple, d[["probe_id", "url"]].itertuples(index=False)))
     assert key(a) == key(b)
+
+
+def test_embed_neardup_vec_equals_hof(spark):
+    """The vectorized near-dup kernel must reproduce the JVM
+    higher-order-function fold EXACTLY (same left-fold float order) —
+    row-identical output, not approximately equal."""
+    from fgcspark.sim import embedding_neardup_pairs, embedding_neardup_pairs_vec
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = set(map(tuple, embedding_neardup_pairs(df, tau=0.4).collect()))
+    b = set(map(tuple, embedding_neardup_pairs_vec(df, tau=0.4).collect()))
+    assert a == b and len(a) > 0
