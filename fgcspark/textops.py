@@ -121,8 +121,24 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    pj = _pair_jaccard(shingles(df, n, id_col, text_col), id_col)
-    return cand.join(pj, ["id_a", "id_b"]).where(
+    # exact-verify ONLY the candidate pairs: attach id_b fan-out to
+    # id_a's shingles, then count shingle matches per pair. The full
+    # all-pairs shingle join (ngram_jaccard_pairs) is never built —
+    # at 10^12 docs the verification cost is O(|candidates| x shingles
+    # per doc), which is the whole point of LSH.
+    sh2 = shingles(df, n, id_col, text_col)
+    sizes = sh2.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = cand.join(sh2.withColumnRenamed(id_col, "id_a"), "id_a")
+    common = (
+        a_sh.join(
+            sh2.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return common.join(sa, "id_a").join(sb, "id_b").where(
         F.lit(100) * F.col("common")
         >= F.lit(tau_pct) * (F.col("n_a") + F.col("n_b") - F.col("common"))
     ).select("id_a", "id_b", "common", "n_a", "n_b")
