@@ -703,15 +703,15 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["lineitem_agg"] = """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
                count(*) AS n_rows
         FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
         GROUP BY 1, 2
     """
     sql["revenue_by_nation"] = """
         SELECT n_name,
-               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
                count(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
