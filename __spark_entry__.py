@@ -535,10 +535,14 @@ _MINHASH_COLS = ", ".join(
     )
 )
 
+# 64-bit simhash as two unsigned 32-bit halves (mirrors fgcspark.textops.simhash):
+# token bits j=0..31 from md5 hex chars 1-8 (h_lo), j=32..63 from chars 9-16 (h_hi).
 _SIMHASH_VOTES = ", ".join(
-    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+    [f"sum(CASE WHEN (h_lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(32)]
+    + [f"sum(CASE WHEN (h_hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{32 + j}" for j in range(32)]
 )
-_SIMHASH_VAL = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+_SIMHASH_LO = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+_SIMHASH_HI = " + ".join(f"(CASE WHEN s{32 + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
 
 _DOT = "list_dot_product(a.v, b.v)"
 
@@ -765,18 +769,24 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         ), hashed AS (
-            SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 14)) AS BIGINT) AS h
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h_lo,
+                   CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT) AS h_hi
             FROM toks WHERE len(tok) > 0
         ), votes AS (
             SELECT doc_id, {_SIMHASH_VOTES} FROM hashed GROUP BY doc_id
         ), sh AS (
-            SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM votes
+            SELECT doc_id, CAST({_SIMHASH_LO} AS BIGINT) AS sim_lo,
+                   CAST({_SIMHASH_HI} AS BIGINT) AS sim_hi
+            FROM votes
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+               CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                    + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
         FROM sh a, sh b
         WHERE a.doc_id < b.doc_id
-          AND bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+          AND bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
     """
     sql["langid"] = """
         WITH c AS (

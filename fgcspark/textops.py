@@ -25,7 +25,7 @@ A_J = [1181, 2473, 3373, 4591, 5737, 6863, 7919, 9049, 10181, 11287, 12433, 1359
 B_J = [7, 131, 239, 359, 467, 587, 709, 827, 941, 1061, 1181, 1301, 1429, 1549, 1663, 1787]
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64  # stored as two 32-bit halves (lo = bits 0..31, hi = 32..63)
 LANG_MARKERS = {
     "en": ("the", "a", "of"),
     "es": ("el", "la", "de"),
@@ -145,58 +145,90 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per document from token hashes (multiplicity
-    preserved; bit j set iff sum of ±1 votes > 0)."""
+    """64-bit SimHash per document from token hashes (multiplicity
+    preserved; bit j set iff sum of ±1 votes > 0).
+
+    Stored as two unsigned-32-bit halves (`sim_lo` = bits 0..31,
+    `sim_hi` = bits 32..63) so every intermediate stays well inside
+    int64 in Spark AND in the DuckDB oracle — no signed-overflow edge
+    at bit 63. Token bits come from md5: hex chars 1-8 -> lo half,
+    9-16 -> hi half; both halves are computable in any md5-equipped
+    engine, keeping the operator independently checkable."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).where(F.length("tok") > 0)
-    h = md5_56(F.col("tok"))
+    m = F.md5(F.col("tok"))
+    t_lo = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    t_hi = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.shiftright(t_lo, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+            for j in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(F.shiftright(t_hi, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{32 + j}")
+            for j in range(32)
+        ],
     )
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    lo = None
+    hi = None
+    for j in range(32):
+        bl = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bh = F.when(F.col(f"s{32 + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        lo = bl if lo is None else lo + bl
+        hi = bh if hi is None else hi + bh
+    return votes.select(
+        F.col(id_col), lo.cast("long").alias("sim_lo"), hi.cast("long").alias("sim_hi")
+    )
 
 
 def simhash_pairs(
     df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+    """Near-dup pairs with 64-bit SimHash hamming distance <= max_hamming.
 
-    Banded exactly: 4 nibble-bands; hamming<=3 guarantees at least one
-    identical band (pigeonhole), so the band equi-join loses nothing
-    while avoiding the all-pairs product at scale."""
+    Banded exactly into 4 x 16-bit bands; hamming<=3 guarantees at
+    least one identical band (pigeonhole), so the band equi-join loses
+    nothing. 2^16 buckets per band (vs 16 with the old 4-bit nibbles)
+    keeps bucket occupancy ~n/65536 — the candidate join stays near-
+    linear at web scale instead of degenerating toward all-pairs."""
     assert max_hamming < N_BANDS
     sh = simhash(df, id_col, text_col)
-    bands = []
-    for b in range(N_BANDS):
-        nib = F.shiftright(F.col("simhash"), b * 4).bitwiseAND(F.lit(0xF))
-        bands.append(sh.select(id_col, "simhash", F.lit(b).alias("band"), nib.alias("nib")))
+    band_keys = [
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
+    bands = [
+        sh.select(id_col, "sim_lo", "sim_hi", F.lit(b).alias("band"), k.alias("bkey"))
+        for b, k in enumerate(band_keys)
+    ]
     banded = bands[0]
     for x in bands[1:]:
         banded = banded.unionAll(x)
     a = banded.alias("a")
     b2 = banded.alias("b")
     cand = (
-        a.join(b2, ["band", "nib"])
+        a.join(b2, ["band", "bkey"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("b.sim_lo").alias("lo_b"),
+            F.col("b.sim_hi").alias("hi_b"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
     return cand.where(ham <= max_hamming).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
