@@ -89,63 +89,79 @@ def embedding_neardup_pairs_vec(
     tau: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Vectorized twin of embedding_neardup_pairs: identical output,
-    ~10x faster.
+    fully distributed (no driver collect, no whole-table broadcast).
+
+    Shape: exact all-pairs scoring is decomposed into B(B+1)/2 block
+    pairs — row with block i = id % B acts as the LEFT member of pairs
+    (i, j>=i) and the RIGHT member of pairs (i<=j, j); a cogrouped
+    applyInPandas scores each block pair with one numpy pass. Every
+    vector moves through the shuffle ~(B+1) times and nothing touches
+    the driver, so the exact baseline itself survives large n; the
+    O(n^2/B) per-group work is inherent to EXACT near-dup — the
+    sub-quadratic scale paths remain minhash_lsh_pairs / ivf_topk.
 
     Float-exactness contract: the JVM version folds the dot product
     left-to-right over dimensions (F.aggregate), and so does the DuckDB
     oracle. numpy's pairwise-summation `dot` would round differently,
-    so this kernel reproduces the LEFT FOLD exactly — `acc += A[:,j] *
-    B[:,j]` over dimensions j in order, each step an elementwise IEEE
+    so this kernel reproduces the LEFT FOLD exactly — `acc += L[:,d] *
+    R[:,d]` over dimensions d in order, each step an elementwise IEEE
     mul+add over the pair block (numpy does not fuse to FMA). The
-    comparison `dot/(na*nb) >= tau` is the same expression tree too.
-
-    Shape: the comparison matrix is broadcast (small at dim-table
-    scale; at 10^12 rows you LSH/IVF-bucket first — minhash_lsh_pairs /
-    ivf_topk are those paths), and each Arrow batch of rows is scored
-    against all higher ids in one numpy pass inside mapInPandas."""
+    comparison `dot/(na*nb) >= tau` is the same expression tree too."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = df.select(id_col, vec_col).collect()
-    order = np.argsort(np.array([r[id_col] for r in rows]), kind="stable")
-    ids = np.array([rows[i][id_col] for i in order], dtype=np.int64)
-    mat = np.array([rows[i][vec_col] for i in order], dtype=np.float64)
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    def fold_dots(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros((A.shape[0], B.shape[0]))
-        for j in range(A.shape[1]):  # left fold over dimensions
-            acc += A[:, j, None] * B[None, :, j]
-        return acc
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    left = base.withColumn("bi", blk).withColumn(
+        "bj", F.explode(F.expr(f"sequence(bi, {n_blocks - 1})"))
+    )
+    right = base.withColumn("bj", blk).withColumn(
+        "bi", F.explode(F.expr("sequence(0, bj)"))
+    )
 
     out_schema = T.StructType(
         [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
     )
 
-    def run(batches):
-        ids_all, mat_all = bc.value
-        acc = np.zeros(mat_all.shape[0])
-        for j in range(mat_all.shape[1]):  # same left fold for the norms
-            acc += mat_all[:, j] * mat_all[:, j]
-        nrm = np.sqrt(acc)
-        pos = {int(v): i for i, v in enumerate(ids_all)}
-        for pdf in batches:
-            a_idx = np.array([pos[int(v)] for v in pdf["vec_id"]], dtype=np.int64)
-            if len(a_idx) == 0:
-                yield pd.DataFrame({"id_a": [], "id_b": []})
-                continue
-            dots = fold_dots(mat_all[a_idx], mat_all)
-            cos = dots / (nrm[a_idx][:, None] * nrm[None, :])
-            ai, bi = np.nonzero((cos >= tau) & (ids_all[a_idx][:, None] < ids_all[None, :]))
-            yield pd.DataFrame(
-                {"id_a": ids_all[a_idx][ai], "id_b": ids_all[bi]}
-            )
+    def fold_dots(L: "np.ndarray", R: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros((L.shape[0], R.shape[0]))
+        for d in range(L.shape[1]):  # left fold over dimensions
+            acc += L[:, d, None] * R[None, :, d]
+        return acc
 
-    return df.select(F.col(id_col).alias("vec_id")).mapInPandas(run, out_schema)
+    def fold_norms(M: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(M.shape[0])
+        for d in range(M.shape[1]):  # same left fold for the norms
+            acc += M[:, d] * M[:, d]
+        return np.sqrt(acc)
+
+    def score(key, l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        lid = l["vec_id"].to_numpy(dtype=np.int64)
+        rid = r["vec_id"].to_numpy(dtype=np.int64)
+        lm = np.array(l["v"].tolist(), dtype=np.float64)
+        rm = np.array(r["v"].tolist(), dtype=np.float64)
+        cos = fold_dots(lm, rm) / (fold_norms(lm)[:, None] * fold_norms(rm)[None, :])
+        if key[0] == key[1]:
+            # diagonal group: both sides are the same block; keep each
+            # unordered pair once via the id order
+            li, ri = np.nonzero((cos >= tau) & (lid[:, None] < rid[None, :]))
+            return pd.DataFrame({"id_a": lid[li], "id_b": rid[ri]})
+        li, ri = np.nonzero(cos >= tau)
+        a, b = lid[li], rid[ri]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, out_schema)
+    )
 
 
 def ivf_topk(
