@@ -176,29 +176,36 @@ def centroid(g: Geom):
     # polygonal: each polygon's exterior orientation is normalized so
     # shells always contribute positive area regardless of winding
     # (GEOS is winding-insensitive for shells; holes stay subtractive
-    # because valid data winds them opposite to their shell)
+    # because valid data winds them opposite to their shell). Each part
+    # is reduced relative to ITS OWN first exterior vertex — a single
+    # shared base across far-apart multipolygon parts reintroduces the
+    # shoelace cancellation the translation exists to avoid (a part of
+    # area 1e-4 sitting 1e6 units from the base drowns in round-off).
     polys = [g.coords] if t == POLYGON else list(g.coords)
-    first = next((rings[0] for rings in polys if rings), None)
-    if first is None:
-        return None
-    base = (float(first[0][0]), float(first[0][1]))  # shared translation
-    a2s, cxs, cys = 0.0, 0.0, 0.0
+    wsum, xsum, ysum = 0.0, 0.0, 0.0
     for rings in polys:
         if not rings:
             continue
+        base = (float(rings[0][0][0]), float(rings[0][0][1]))
         sign = 1.0
         ext_a2, _, _ = _ring_area2_cx_cy(rings[0], base)
         if ext_a2 < 0:
             sign = -1.0
+        a2s, cxs, cys = 0.0, 0.0, 0.0
         for ring in rings:
             a2, cx, cy = _ring_area2_cx_cy(ring, base)
             a2s += sign * a2
             cxs += sign * cx
             cys += sign * cy
-    if a2s == 0.0:
+        if a2s == 0.0:
+            continue  # degenerate part: no area weight
+        wsum += a2s
+        xsum += (base[0] + cxs / (3.0 * a2s)) * a2s
+        ysum += (base[1] + cys / (3.0 * a2s)) * a2s
+    if wsum == 0.0:
         allc = np.concatenate([r for r in _rings_of(g) if r.size])
         return float(allc[:, 0].mean()), float(allc[:, 1].mean())
-    return base[0] + float(cxs / (3.0 * a2s)), base[1] + float(cys / (3.0 * a2s))
+    return float(xsum / wsum), float(ysum / wsum)
 
 
 def _dim(t: str) -> int:

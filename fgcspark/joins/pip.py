@@ -37,14 +37,27 @@ DEFAULT_CELL_KM = 50
 class PolygonIndex:
     """Driver-built broadcastable polygon index: projected rings +
     bboxes sorted by xmin (STR-flavored: binary-searchable envelope
-    array) + cell cover table."""
+    array) + cell cover table.
 
-    def __init__(self, poly_ids: list[int], rings: list[np.ndarray], cell_km: int):
+    `rings[i]` is the LIST of rings of polygon i — exterior ring(s)
+    plus interior holes; MULTIPOLYGON parts contribute their rings to
+    the same list. Containment is even-odd: XOR of per-ring crossing
+    parity, which handles holes and disjoint parts uniformly."""
+
+    def __init__(self, poly_ids: list[int], rings: list[list[np.ndarray]], cell_km: int):
         self.cell_km = cell_km
         self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
         self.rings = rings
         self.bboxes = np.array(
-            [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()] for r in rings]
+            [
+                [
+                    min(r[:, 0].min() for r in rs),
+                    min(r[:, 1].min() for r in rs),
+                    max(r[:, 0].max() for r in rs),
+                    max(r[:, 1].max() for r in rs),
+                ]
+                for rs in rings
+            ]
         )
 
     def cover(self) -> list[tuple[int, int, int]]:
@@ -68,10 +81,16 @@ def build_polygon_index(
     ids, rings = [], []
     for r in rows:
         g = parse_wkt(r["wkt"])
-        ring = g.coords[0]  # exterior ring, lon/lat
-        e, n = tm.geodetic_to_tm35(ring[:, 0], ring[:, 1])
+        if g.gtype == "MULTIPOLYGON":
+            raw = [ring for part in g.coords for ring in part]
+        else:  # POLYGON: coords is the ring list (exterior + holes)
+            raw = list(g.coords)
+        projected = []
+        for ring in raw:
+            e, n = tm.geodetic_to_tm35(ring[:, 0], ring[:, 1])
+            projected.append(np.stack([e, n], axis=1))
         ids.append(int(r["poly_id"]))
-        rings.append(np.stack([e, n], axis=1))
+        rings.append(projected)
     return PolygonIndex(ids, rings, cell_km)
 
 
@@ -99,17 +118,38 @@ def _pip_mask(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
 _INDEX_CACHE: dict = {}
 
 
+def _plan_fingerprint(df: DataFrame) -> str:
+    """Cheap no-job fingerprint of a DataFrame's logical plan — catches
+    a cache_key being reused after the polygon input changed (different
+    path / filter / schema). In-place mutation of the same files is
+    not detectable this way; cache_key remains the caller's contract
+    for that case."""
+    try:
+        return df._jdf.queryExecution().logical().toString()
+    except Exception:  # pragma: no cover - connect-mode fallback
+        return str(df.schema)
+
+
 def cached_index(
     spark: SparkSession, polygons: DataFrame, cell_km: int, cache_key: str
 ):
     """Build the polygon index + its broadcast once per (key, cell_km)
     and reuse across jobs — the build side of this join is immutable
     for the lifetime of a scan, so one driver-side build amortizes over
-    the entire (100 TB) probe table."""
-    k = (cache_key, cell_km)
+    the entire (100 TB) probe table.
+
+    Keyed by SparkContext applicationId + the polygon plan fingerprint
+    so a cached Broadcast never outlives its owning context and never
+    serves a different polygon layer; entries from stopped contexts
+    are evicted on the next miss."""
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    k = (app_id, cache_key, cell_km, _plan_fingerprint(polygons))
     if k not in _INDEX_CACHE:
+        for old in [key for key in _INDEX_CACHE if key[0] != app_id]:
+            del _INDEX_CACHE[old]
         idx = build_polygon_index(spark, polygons, cell_km)
-        bc = spark.sparkContext.broadcast(
+        bc = sc.broadcast(
             {int(p): (r, b) for p, r, b in zip(idx.poly_ids, idx.rings, idx.bboxes)}
         )
         _INDEX_CACHE[k] = (idx, bc)
@@ -158,12 +198,15 @@ def pip_join(
         table = bc.value
         for p in np.unique(pv):
             sel = np.nonzero(pv == p)[0]
-            ring, (x0, y0, x1, y1) = table[int(p)]
+            rings, (x0, y0, x1, y1) = table[int(p)]
             px, py = ex[sel], ny[sel]
             inbb = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
             m = np.zeros(len(sel), dtype=bool)
             if inbb.any():
-                m[inbb] = _pip_mask(px[inbb], py[inbb], ring)
+                ins = np.zeros(int(inbb.sum()), dtype=bool)
+                for ring in rings:  # even-odd across exteriors + holes
+                    ins ^= _pip_mask(px[inbb], py[inbb], ring)
+                m[inbb] = ins
             out[sel] = m
         return pd.Series(out)
 

@@ -148,9 +148,14 @@ def _seg_dist(px: np.ndarray, py: np.ndarray, segs: np.ndarray) -> np.ndarray:
     return best
 
 
-def _build_polygons(rng: np.random.Generator) -> tuple[list[dict], list[np.ndarray]]:
-    """200 convex polygons over the window, ~10% overlap, 5 over the hot
-    cell (FIXTURES.md §4). Returns (records, rings_3067)."""
+def _build_polygons(rng: np.random.Generator) -> tuple[list[dict], list[list[np.ndarray]]]:
+    """200 polygons over the window, ~10% overlap, 5 over the hot
+    cell (FIXTURES.md §4). Returns (records, rings_3067) where each
+    polygon is a LIST of rings (exterior(s) + holes): non-hot polygons
+    with pid % 5 == 2 carry an interior hole; pid % 7 == 3 are
+    MULTIPOLYGONs with a second disjoint part. Containment semantics
+    are even-odd (XOR of per-ring crossing parity), which both the
+    brute-force golden here and the engine refine share."""
     hot_e, hot_n = (float(v) for v in tm.geodetic_to_tm35(HOT_LON, HOT_LAT))
     ncol, nrow = 20, 10
     de = (E_MAX - E_MIN) / ncol
@@ -183,17 +188,52 @@ def _build_polygons(rng: np.random.Generator) -> tuple[list[dict], list[np.ndarr
             ru = rng.uniform(0.85, 1.15, k)
         pts = np.stack([ce + a * np.cos(ang) * ru, cn + b * np.sin(ang) * ru], axis=1)
         hull = _convex_hull(pts)
-        lon, lat = tm.tm35_to_geodetic(hull[:, 0], hull[:, 1])
-        wkt = f"POLYGON ({_ring_wkt(lon, lat)})"
+
+        def _eff_ring(hx: np.ndarray, hy: np.ndarray) -> tuple[str, np.ndarray]:
+            """Format a metric ring as %.7f lon/lat WKT text and return
+            (ring_wkt, effective_3067_ring): what the engine recovers
+            after parse + forward transform."""
+            lo, la = tm.tm35_to_geodetic(hx, hy)
+            lo_f = np.array([float(_fmt(v)) for v in lo])
+            la_f = np.array([float(_fmt(v)) for v in la])
+            ee, nn2 = tm.geodetic_to_tm35(lo_f, la_f)
+            return _ring_wkt(lo, la), np.stack([ee, nn2], axis=1)
+
+        ext_txt, ext_eff = _eff_ring(hull[:, 0], hull[:, 1])
+        poly_rings = [ext_eff]
+        ring_txts = [ext_txt]
+        if pid not in hot_ids and pid % 5 == 2:
+            # interior hole: hull shrunk 65% toward its vertex mean
+            hc = hull.mean(axis=0)
+            hole = hc + (hull - hc) * 0.35
+            h_txt, h_eff = _eff_ring(hole[:, 0], hole[:, 1])
+            poly_rings.append(h_eff)
+            ring_txts.append(h_txt)
+        if pid not in hot_ids and pid % 7 == 3:
+            # second disjoint part well outside the hull (hull radius is
+            # <= 1.15 * (a, b)), clipped into the working window
+            c2e = float(np.clip(ce + a * 1.9, E_MIN + 1000, E_MAX - 1000))
+            c2n = float(np.clip(cn + b * 1.9, N_MIN + 1000, N_MAX - 1000))
+            k2 = int(rng.integers(5, 9))
+            ang2 = np.sort(rng.uniform(0, 2 * np.pi, k2))
+            part2 = np.stack(
+                [c2e + a * 0.3 * np.cos(ang2), c2n + b * 0.3 * np.sin(ang2)], axis=1
+            )
+            hull2 = _convex_hull(part2)
+            p_txt, p_eff = _eff_ring(hull2[:, 0], hull2[:, 1])
+            if len(ring_txts) > 1:  # holed first part + plain second part
+                wkt = f"MULTIPOLYGON (({ring_txts[0]}, {ring_txts[1]}), ({p_txt}))"
+            else:
+                wkt = f"MULTIPOLYGON (({ring_txts[0]}), ({p_txt}))"
+            poly_rings.append(p_eff)
+        elif len(ring_txts) > 1:
+            wkt = f"POLYGON ({ring_txts[0]}, {ring_txts[1]})"
+        else:
+            wkt = f"POLYGON ({ring_txts[0]})"
         records.append({"poly_id": pid, "name": f"province_{pid}", "wkt": wkt})
-        # effective ring = what the engine will see: parse formatted wkt,
-        # forward-transform
-        lon_f = np.array([float(_fmt(v)) for v in lon])
-        lat_f = np.array([float(_fmt(v)) for v in lat])
-        ee, nn = tm.geodetic_to_tm35(lon_f, lat_f)
-        rings.append(np.stack([ee, nn], axis=1))
+        rings.append(poly_rings)
         if pid in hot_ids:
-            assert _ray_cast(np.array([hot_e]), np.array([hot_n]), rings[-1])[0]
+            assert _ray_cast(np.array([hot_e]), np.array([hot_n]), poly_rings[0])[0]
     return records, rings
 
 
@@ -278,7 +318,8 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
     all_segs = np.concatenate(
         [
             np.concatenate([r, np.roll(r, -1, axis=0)], axis=1)
-            for r in poly_rings
+            for rings in poly_rings
+            for r in rings
         ]
     )
 
@@ -478,17 +519,20 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
         out / "polygons.parquet",
     )
 
-    # --- PIP golden (brute force ray cast) -------------------------------
+    # --- PIP golden (brute force ray cast, even-odd over all rings) ------
     pip_url, pip_pid = [], []
-    for pid, ring in enumerate(poly_rings):
-        lo = ring.min(axis=0)
-        hi = ring.max(axis=0)
+    for pid, rings in enumerate(poly_rings):
+        allv = np.vstack(rings)
+        lo = allv.min(axis=0)
+        hi = allv.max(axis=0)
         cand = np.nonzero(
             (e_eff >= lo[0]) & (e_eff <= hi[0]) & (n_eff >= lo[1]) & (n_eff <= hi[1])
         )[0]
         if cand.size == 0:
             continue
-        ins = _ray_cast(e_eff[cand], n_eff[cand], ring)
+        ins = np.zeros(cand.size, dtype=bool)
+        for ring in rings:
+            ins ^= _ray_cast(e_eff[cand], n_eff[cand], ring)
         for i in cand[ins]:
             pip_url.append(urls[i])
             pip_pid.append(pid)
