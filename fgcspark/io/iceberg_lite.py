@@ -63,10 +63,32 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
             hi = mx if hi is None else max(hi, mx)
         if lo is not None:
             if isinstance(lo, str):
-                lo, hi = lo[:_STATS_MAX_LEN], hi[:_STATS_MAX_LEN]
+                # lower bound: plain truncation only shrinks it (safe);
+                # upper bound: Iceberg-style — truncate then increment
+                # the last character so it stays an upper bound; if no
+                # character is incrementable, record no max (unbounded)
+                lo = lo[:_STATS_MAX_LEN]
+                hi = _truncate_upper(hi)
             mins[c] = lo
-            maxs[c] = hi
+            if hi is not None:
+                maxs[c] = hi
     return {"rows": md.num_rows, "min": mins, "max": maxs}
+
+
+def _truncate_upper(s: str) -> str | None:
+    """Truncate a string max-stat WITHOUT weakening it as an upper
+    bound (Iceberg UnicodeUtil.truncateStringMax semantics): keep the
+    prefix and increment its last incrementable code point. Returns
+    None when no valid bound fits the budget."""
+    if len(s) <= _STATS_MAX_LEN:
+        return s
+    chars = list(s[:_STATS_MAX_LEN])
+    for i in range(len(chars) - 1, -1, -1):
+        o = ord(chars[i])
+        if o < 0x10FFFF:
+            chars[i] = chr(o + 1)
+            return "".join(chars[: i + 1])
+    return None
 
 
 class IcebergLiteTable:
@@ -155,9 +177,11 @@ class IcebergLiteTable:
             for col, (lo, hi) in pruning.items():
                 fmin = f["min"].get(col)
                 fmax = f["max"].get(col)
-                if fmin is None:
-                    continue
-                if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                # bounds are checked independently: a file may carry a
+                # min but no max (upper-bound truncation overflow)
+                if (hi is not None and fmin is not None and fmin > hi) or (
+                    lo is not None and fmax is not None and fmax < lo
+                ):
                     ok = False
                     break
             if ok:

@@ -119,7 +119,12 @@ def _point_en(lon: pd.Series, lat: pd.Series, fp: pd.Series) -> pd.DataFrame:
         except Exception:
             c = None
         if c is not None:
-            lon_v[i], lat_v[i] = c
+            # per-axis coalesce, identical to with_point: a present
+            # coordinate is never overwritten by the centroid
+            if np.isnan(lon_v[i]):
+                lon_v[i] = c[0]
+            if np.isnan(lat_v[i]):
+                lat_v[i] = c[1]
     e, n = tm.geodetic_to_tm35(lon_v, lat_v)
     return pd.DataFrame({"plon": lon_v, "plat": lat_v, "e": e, "n": n})
 

@@ -25,11 +25,19 @@ def get_spark(
     On a real cluster this builder is a no-op passthrough: master comes
     from spark-submit and the sql confs still apply.
     """
-    if cores is None:
+    from pyspark import SparkConf
+
+    # respect spark-submit: if a master is already configured (cluster
+    # deploy), don't override it and don't apply local-only knobs
+    submitted_master = SparkConf(loadDefaults=True).get("spark.master", None)
+    if submitted_master is not None:
+        master = submitted_master
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
     else:
         master = f"local[{cores}]"
+    is_local = master.startswith("local")
     n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     builder = (
@@ -47,15 +55,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("FGC_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Local test/bench files are single small parquets; split them
-        # finely so scans feed every core. Cluster deploys override via
-        # spark-submit --conf (128m default is right for real HDFS/S3).
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("FGC_MAX_PARTITION_BYTES", "2m"),
-        )
-        .config("spark.sql.files.openCostInBytes", "262144")
     )
+    # Local test/bench files are single small parquets; split them
+    # finely so scans feed every core. The 2m default applies ONLY in
+    # local mode — builder.config beats spark-submit --conf, so forcing
+    # it on a cluster would mean tens of millions of tasks at 100 TB
+    # (ADVICE r1). FGC_MAX_PARTITION_BYTES always wins when set.
+    mpb = os.environ.get("FGC_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
+    elif is_local:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "2m")
+    if is_local:
+        builder = builder.config("spark.sql.files.openCostInBytes", "262144")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -84,3 +84,34 @@ def test_torn_commit_invisible(spark, table, tmp_path):
         assert table.read(spark).count() == table.total_rows(cur)
     finally:
         (table.meta_dir / f"snap-{cur + 1}.json").unlink()
+
+
+def test_long_string_stats_truncation_safe(spark, tmp_path):
+    # >64-char string stats: truncating max by plain slicing would make
+    # the recorded upper bound SMALLER than the true max and wrongly
+    # prune a file (ADVICE r1). The Iceberg-style increment keeps the
+    # bound valid; pruning on the true max value must keep the file.
+    t = IcebergLiteTable(str(tmp_path / "long_tbl"))
+    prefix = "k" * 80
+    df = spark.createDataFrame(
+        [(prefix + "a",), (prefix + "z",)], "skey string"
+    ).coalesce(1)
+    t.append(df, stat_cols=["skey"])
+    f = t.plan_files()[0]
+    assert f["min"]["skey"] == ("k" * 64)  # plain truncation: still a lower bound
+    rec_max = f["max"]["skey"]
+    assert rec_max >= prefix + "z"  # never weaker than the true max
+    assert len(rec_max) <= 64
+    # a query for the true max value must not be pruned away
+    kept = t.plan_files(pruning={"skey": (prefix + "z", prefix + "z")})
+    assert len(kept) == 1
+
+    # a max of all-U+10FFFF chars cannot be upper-bounded in 64 chars:
+    # stats must record no max, and pruning must keep the file
+    t2 = IcebergLiteTable(str(tmp_path / "wild_tbl"))
+    big = "\U0010ffff" * 80
+    df2 = spark.createDataFrame([("a",), (big,)], "skey string").coalesce(1)
+    t2.append(df2, stat_cols=["skey"])
+    f2 = t2.plan_files()[0]
+    assert "skey" not in f2["max"]
+    assert len(t2.plan_files(pruning={"skey": (big, None)})) == 1

@@ -128,3 +128,31 @@ def test_raster_assemble_dense_roundtrip(spark, pages_dir):
     per_cell = back.groupBy("cell").agg(F.sum("n_docs").alias("n"))
     assert per_cell.exceptAll(sparse).count() == 0
     assert sparse.exceptAll(per_cell).count() == 0
+
+
+def test_point_en_mixed_null_matches_with_point(spark):
+    """A row with exactly one coordinate present: the fused _point_en
+    kernel must coalesce PER AXIS like with_point — never overwrite the
+    present coordinate with the centroid (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from fgcspark.pipeline import point_en, with_point
+
+    fp = "POLYGON ((24.0 60.0, 25.0 60.0, 25.0 61.0, 24.0 61.0, 24.0 60.0))"
+    df = spark.createDataFrame(
+        [
+            (24.2, None, fp),      # lat missing
+            (None, 60.4, fp),      # lon missing
+            (None, None, fp),      # both missing -> centroid
+            (24.2, 60.4, fp),      # both present -> untouched
+        ],
+        "lon double, lat double, footprint string",
+    )
+    fused = df.withColumn("_p", point_en("lon", "lat", "footprint")).select(
+        F.col("_p.plon").alias("plon"), F.col("_p.plat").alias("plat")
+    )
+    twostep = with_point(df).select("plon", "plat")
+    assert [tuple(r) for r in fused.collect()] == [tuple(r) for r in twostep.collect()]
+    rows = fused.collect()
+    assert rows[0]["plon"] == 24.2 and abs(rows[0]["plat"] - 60.5) < 0.01
+    assert rows[1]["plat"] == 60.4 and abs(rows[1]["plon"] - 24.5) < 0.01
