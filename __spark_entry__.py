@@ -272,6 +272,34 @@ def _q_occ_facts_join(spark, sf_dir):
     return out.select(*exprs)
 
 
+_ARCHIVE_COLS = [
+    "occurrenceID", "eventID", "datasetID", "scientificName",
+    "organismQuantity", "eventDate", "municipality",
+    "decimalLatitude", "decimalLongitude", "footprintWKT", "UnitNotes",
+    "Havainnon_laatu", "Havainnon_määrän_yksikkö",
+    "Museo_johon_lajista_kerätty_näyte_on_talletettu",
+    "Vesistöalue", "Sijainnin_tarkkuusluokka", "Pesintätulos",
+    "Seurattava_laji",
+]
+
+
+def _q_occ_archive_load(spark, sf_dir):
+    """S1 over the reference's REAL input shape: a citable-download zip
+    (rows TSV + 3 fact TSVs + readme, inst/tinytest/HBF.53254.zip
+    layout) routed by member name, fact-pivoted per level, columns
+    deselected and Darwin Core-renamed (R/finbif_geo_convert.R:78-126).
+    The DuckDB oracle parses the EXTRACTED TSVs with its own reader —
+    the two engines share only bytes on disk."""
+    from fgcspark.io.archive import read_citable_zip
+    from fgcspark.synth.archive import HBF_ID, generate_archive
+
+    d = generate_archive(Path(_geo_dir(sf_dir)).name)
+    rows, _readme = read_citable_zip(spark, f"{d}/HBF.{HBF_ID}.zip")
+    return rows.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in _ARCHIVE_COLS]
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / training-data queries (driver testdata views)
 # ---------------------------------------------------------------------------
@@ -476,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_roundtrip_100km": _q_raster_roundtrip,
         "chunk_window": _q_chunk_window,
         "occ_facts_join": _q_occ_facts_join,
+        "occ_archive_load": _q_occ_archive_load,
         "streamed_points": _q_streamed_points,
         # reference relational semantics
         "facts_pivot": _q_facts_pivot,
@@ -644,6 +673,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE Fact IN ({", ".join("'" + raw + "'" for raw, _ in _FACTS)})
             GROUP BY Parent
         ) p ON r.occurrenceID = p.Parent
+    """
+    # --- citable-archive load (independent TSV parse of the extracted
+    # members; engine reads the zip) ----------------------------------------
+    _HBF = f"{GEO_DATA}/{ORACLE_SCALE}/hbf_extracted"
+    _csv = (
+        lambda m: f"read_csv('{_HBF}/{m}_HBF.90001.tsv', delim='\t', "
+        "header=true, quote='', all_varchar=true)"
+    )
+
+    def _fact_cte(member: str, names: list[str]) -> str:
+        import re as _re
+
+        cols = ",\n".join(
+            f"min(Value) FILTER (WHERE Fact = '{raw}') AS "
+            f'"{_re.sub(chr(92) + "W", "", _re.sub(chr(92) + "s", "_", raw))}"'
+            for raw in names
+        )
+        inlist = ", ".join(f"'{raw}'" for raw in names)
+        return (
+            f"SELECT Parent, {cols} FROM {_csv(member)}"
+            f" WHERE Fact IN ({inlist}) GROUP BY Parent"
+        )
+
+    _REC = ["Havainnon laatu", "Havainnon määrän yksikkö",
+            "Museo, johon lajista kerätty näyte on talletettu"]
+    _EVT = ["Vesistöalue", "Sijainnin tarkkuusluokka", "Pesintätulos"]
+    _DOC = ["Seurattava laji"]
+    sql["occ_archive_load"] = f"""
+        WITH r AS (SELECT * FROM {_csv('rows')}),
+        uf AS ({_fact_cte('unit_facts', _REC)}),
+        gf AS ({_fact_cte('gathering_facts', _EVT)}),
+        df_ AS ({_fact_cte('document_facts', _DOC)})
+        SELECT r."Unit.UnitID" AS occurrenceID,
+               r."Gathering.GatheringID" AS eventID,
+               r."Document.DocumentID" AS datasetID,
+               r."Taxon.ScientificName" AS scientificName,
+               coalesce(r."Unit.Abundance", '') AS organismQuantity,
+               r."Gathering.DisplayDateTime" AS eventDate,
+               r."Gathering.Interpretations.Municipality" AS municipality,
+               coalesce(r."Gathering.Conversions.WGS84CenterPoint.Lat(N)", '') AS decimalLatitude,
+               coalesce(r."Gathering.Conversions.WGS84CenterPoint.Lon(E)", '') AS decimalLongitude,
+               coalesce(r."Gathering.Conversions.WGS84_WKT", '') AS footprintWKT,
+               r."Unit.Notes" AS UnitNotes,
+               coalesce(uf."Havainnon_laatu", '') AS Havainnon_laatu,
+               coalesce(uf."Havainnon_määrän_yksikkö", '') AS "Havainnon_määrän_yksikkö",
+               coalesce(uf."Museo_johon_lajista_kerätty_näyte_on_talletettu", '')
+                   AS "Museo_johon_lajista_kerätty_näyte_on_talletettu",
+               coalesce(gf."Vesistöalue", '') AS "Vesistöalue",
+               coalesce(gf."Sijainnin_tarkkuusluokka", '') AS Sijainnin_tarkkuusluokka,
+               coalesce(gf."Pesintätulos", '') AS "Pesintätulos",
+               coalesce(df_."Seurattava_laji", '') AS Seurattava_laji
+        FROM r
+        LEFT JOIN uf ON r."Unit.UnitID" = uf.Parent
+        LEFT JOIN gf ON r."Gathering.GatheringID" = gf.Parent
+        LEFT JOIN df_ ON r."Document.DocumentID" = df_.Parent
     """
     # --- multimodal binary ops (pages html = the opaque blob) --------------
     _PG = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pages.parquet')"

@@ -42,11 +42,14 @@ def join_facts(
     fact_col: str = "Fact",
     value_col: str = "Value",
     order_col: str | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
-    """J1 enrichment: broadcast the pivoted facts (small by
-    construction: <= |whitelist| columns, one row per parent) onto the
-    row table — zero-shuffle join at any scale."""
+    """J1 enrichment: join the pivoted facts (<= |whitelist| columns,
+    one row per parent) onto the row table. broadcast=True (default)
+    is zero-shuffle — right for event/document-level facts, which are
+    orders of magnitude smaller than the rows; pass broadcast=False
+    for record-level facts, which scale WITH the rows and need a
+    shuffle hash join at 100 TB."""
     wide = pivot_facts(facts, whitelist, parent_col, fact_col, value_col, order_col)
-    return rows.join(
-        F.broadcast(wide), rows[row_key] == wide[parent_col], "left"
-    ).drop(parent_col)
+    build = F.broadcast(wide) if broadcast else wide
+    return rows.join(build, rows[row_key] == wide[parent_col], "left").drop(parent_col)

@@ -1,0 +1,314 @@
+"""Citable-archive ingestion: the reference's real input shapes.
+
+The reference accepts a laji.fi "citable download" Zip
+(inst/tinytest/HBF.53254.zip: `rows_HBF.<id>.tsv` + three long fact
+TSVs `document/gathering/unit_facts_HBF.<id>.tsv` + `readme_*.txt`)
+or a lite TSV, loads it with finbif::finbif_occurrence_load
+(R/finbif_geo_convert.R:78-94), sanitises names, and optionally maps
+them to Darwin Core (R/finbif_geo_convert.R:109-126, finbif::to_dwc).
+
+This module re-expresses that surface Spark-first:
+
+- `route_members` — member-name routing, same patterns the reference
+  relies on (api.R:236-240 greps `^readme.*\\.txt$`; finbif routes
+  `rows_` / `*_facts_` members);
+- `read_citable_zip` — ONE archive (the reference's unit of work):
+  driver-side member extraction, then `spark.read.csv` per member so
+  the row table is a normal splittable scan; facts pivot + broadcast
+  enrichment reuse fgcspark.facts; header translation -> finbif-style
+  short names -> optional Darwin Core;
+- `read_citable_zips_distributed` — the 100 TB path the reference
+  lacks: a DIRECTORY of archives scanned with binaryFile, members
+  unzipped and parsed inside executors via mapInPandas (one task per
+  archive, no driver involvement, no shuffle).
+
+Column-translation fidelity: CITABLE_VARS covers the spatial columns
+the geo pipeline consumes (the reference's get_spatial_input_nms
+names: lat_wgs84 / lon_wgs84 / footprint_wgs84) plus the id /
+taxon / date columns its tests touch, and every bbox/euref/ykj
+variant named in the reference's `deselect` list
+(R/finbif_geo_convert.R:633-639). Unmapped headers pass through
+name-sanitised (P2), exactly like finbif keeps unknown columns.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fgcspark.errors import sanitise_nms
+from fgcspark.facts import join_facts
+
+# citable rows-TSV header -> finbif-style short name (subset; see
+# module docstring for the fidelity contract)
+CITABLE_VARS = {
+    "Unit.UnitID": "record_id",
+    "Gathering.GatheringID": "event_id",
+    "Document.DocumentID": "document_id",
+    "Taxon.ScientificName": "scientific_name",
+    "Unit.Abundance": "abundance",
+    "Unit.Interpretations.IndividualCount": "individual_count",
+    "Gathering.DisplayDateTime": "date_time",
+    "Gathering.Interpretations.Municipality": "municipality",
+    "Gathering.Interpretations.CoordinateAccuracy": "coordinates_uncertainty",
+    "Gathering.Conversions.WGS84CenterPoint.Lat(N)": "lat_wgs84",
+    "Gathering.Conversions.WGS84CenterPoint.Lon(E)": "lon_wgs84",
+    "Gathering.Conversions.WGS84_WKT": "footprint_wgs84",
+    "Gathering.Conversions.WGS84.LatMin(N)": "lat_min_wgs84",
+    "Gathering.Conversions.WGS84.LatMax(N)": "lat_max_wgs84",
+    "Gathering.Conversions.WGS84.LonMin(E)": "lon_min_wgs84",
+    "Gathering.Conversions.WGS84.LonMax(E)": "lon_max_wgs84",
+    "Gathering.Conversions.ETRS-TM35FINCenterPoint.Lat(N)": "lat_euref",
+    "Gathering.Conversions.ETRS-TM35FINCenterPoint.Lon(E)": "lon_euref",
+    "Gathering.Conversions.ETRS-TM35FIN.LatMin(N)": "lat_min_euref",
+    "Gathering.Conversions.ETRS-TM35FIN.LatMax(N)": "lat_max_euref",
+    "Gathering.Conversions.ETRS-TM35FIN.LonMin(E)": "lon_min_euref",
+    "Gathering.Conversions.ETRS-TM35FIN.LonMax(E)": "lon_max_euref",
+    "Gathering.Conversions.YKJ.LatMin(N)": "lat_min_ykj",
+    "Gathering.Conversions.YKJ.LatMax(N)": "lat_max_ykj",
+    "Gathering.Conversions.YKJ.LonMin(E)": "lon_min_ykj",
+    "Gathering.Conversions.YKJ.LonMax(E)": "lon_max_ykj",
+}
+
+# lite-download TSV header -> finbif short name (the 58/59-column
+# files of inst/tinytest/laji-data.tsv / laji-data2.tsv). Lite files
+# carry no WGS84 centre point: the geometry comes from "WGS84 WKT"
+# (footprint), with the bbox / euref / ykj variants deselected on
+# load like the citable shape — so a lite row flows through the
+# pipeline's centroid-fallback path (G3), same as the reference.
+LITE_VARS = {
+    "Observation identifier": "record_id",
+    "Submission identifier": "document_id",
+    "Scientific name": "scientific_name",
+    "Number": "abundance",
+    "Individual count (interpreted)": "individual_count",
+    "Time": "date_time",
+    "Municipality": "municipality",
+    "Location accuracy (m)": "coordinates_uncertainty",
+    "WGS84 WKT": "footprint_wgs84",
+    "WGS84 N-min": "lat_min_wgs84",
+    "WGS84 N-max": "lat_max_wgs84",
+    "WGS84 E-min": "lon_min_wgs84",
+    "WGS84 E-max": "lon_max_wgs84",
+    "ETRS-TM35FIN N": "lat_euref",
+    "ETRS-TM35FIN E": "lon_euref",
+    "ETRS-TM35FIN N-min": "lat_min_euref",
+    "ETRS-TM35FIN N-max": "lat_max_euref",
+    "ETRS-TM35FIN E-min": "lon_min_euref",
+    "ETRS-TM35FIN E-max": "lon_max_euref",
+    "YKJ N-Min": "lat_min_ykj",
+    "YKJ N-Max": "lat_max_ykj",
+    "YKJ E-Min": "lon_min_ykj",
+    "YKJ E-Max": "lon_max_ykj",
+}
+
+# finbif::to_dwc for the columns above (public Darwin Core terms)
+TO_DWC = {
+    "record_id": "occurrenceID",
+    "event_id": "eventID",
+    "document_id": "datasetID",
+    "scientific_name": "scientificName",
+    "abundance": "organismQuantity",
+    "individual_count": "individualCount",
+    "date_time": "eventDate",
+    "municipality": "municipality",
+    "coordinates_uncertainty": "coordinateUncertaintyInMeters",
+    "lat_wgs84": "decimalLatitude",
+    "lon_wgs84": "decimalLongitude",
+    "footprint_wgs84": "footprintWKT",
+}
+
+# reference deselect list (R/finbif_geo_convert.R:633-639): redundant
+# bbox / euref / ykj coordinate variants dropped on load
+DESELECT = [
+    "lon_min_wgs84", "lat_min_wgs84", "lon_max_wgs84", "lat_max_wgs84",
+    "lat_euref", "lon_euref", "lon_min_euref", "lat_min_euref",
+    "lon_max_euref", "lat_max_euref", "lon_min_ykj", "lat_min_ykj",
+    "lon_max_ykj", "lat_max_ykj", "coordinates_euref",
+]
+
+# reference fact whitelist (R/finbif_geo_convert.R:641-653):
+# record -> unit_facts, event -> gathering_facts, document ->
+# document_facts members
+FACTS = {
+    "record": [
+        "Havainnon laatu",
+        "Havainnon määrän yksikkö",
+        "Museo, johon lajista kerätty näyte on talletettu",
+    ],
+    "event": ["Vesistöalue", "Sijainnin tarkkuusluokka", "Pesintätulos"],
+    "document": ["Seurattava laji"],
+}
+
+_MEMBER_PATTERNS = {
+    "rows": re.compile(r"^rows_.*\.tsv$"),
+    "document_facts": re.compile(r"^document_facts_.*\.tsv$"),
+    "gathering_facts": re.compile(r"^gathering_facts_.*\.tsv$"),
+    "unit_facts": re.compile(r"^unit_facts_.*\.tsv$"),
+    "readme": re.compile(r"^readme.*\.txt$"),
+}
+
+_FACT_MEMBER = {
+    "record": ("unit_facts", "record_id"),
+    "event": ("gathering_facts", "event_id"),
+    "document": ("document_facts", "document_id"),
+}
+
+
+def route_members(names: list[str]) -> dict[str, str]:
+    """Member-name routing: {role: member_name} for the recognised
+    members of a citable archive. Missing roles are absent."""
+    out: dict[str, str] = {}
+    for n in names:
+        base = n.rsplit("/", 1)[-1]
+        for role, pat in _MEMBER_PATTERNS.items():
+            if pat.match(base) and role not in out:
+                out[role] = n
+    return out
+
+
+def translate_columns(cols: list[str], dwc: bool = True) -> list[str]:
+    """Citable header -> finbif short name -> (optional) Darwin Core;
+    unknown headers pass through name-sanitised (P2)."""
+    short = [CITABLE_VARS.get(c, c) for c in cols]
+    if dwc:
+        short = [TO_DWC.get(c, c) for c in short]
+    return sanitise_nms(short)
+
+
+def _read_tsv(spark: SparkSession, path: str) -> DataFrame:
+    # laji.fi TSVs are unquoted tab-separated;  disables quoting
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("quote", "")
+        .csv(path)
+    )
+
+
+def read_citable_zip(
+    spark: SparkSession,
+    zip_path: str,
+    facts: dict[str, list[str]] | None = None,
+    dwc: bool = True,
+    deselect: list[str] | None = None,
+    extract_dir: str | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Load one citable archive -> (rows DataFrame, readme text).
+
+    Mirrors the reference load path (R/finbif_geo_convert.R:78-94):
+    column select (deselect list), fact pivot + join per level, name
+    sanitisation, optional Darwin Core names. Fact columns keep their
+    (sanitised) fact names, appearing after the row columns."""
+    facts = FACTS if facts is None else facts
+    deselect = DESELECT if deselect is None else deselect
+    with zipfile.ZipFile(zip_path) as zf:
+        members = route_members(zf.namelist())
+        if "rows" not in members:
+            raise FileNotFoundError(f"no rows_*.tsv member in {zip_path}")
+        out_dir = Path(extract_dir or tempfile.mkdtemp(prefix="fgc_citable_"))
+        extracted = {
+            role: zf.extract(m, out_dir) for role, m in members.items() if role != "readme"
+        }
+        readme = (
+            zf.read(members["readme"]).decode("utf-8", "replace")
+            if "readme" in members
+            else None
+        )
+
+    rows = _read_tsv(spark, extracted["rows"])
+    translated = translate_columns(rows.columns, dwc=False)
+    rows = rows.toDF(*translated)
+    keep = [c for c in rows.columns if c not in deselect]
+    rows = rows.select(*keep)
+
+    for level, names in facts.items():
+        member, key_short = _FACT_MEMBER[level]
+        if member not in extracted or not names:
+            continue
+        fdf = _read_tsv(spark, extracted[member])
+        key = sanitise_nms([key_short])[0]
+        if key not in rows.columns:
+            continue
+        # record facts are row-scale: shuffle join; event/document fact
+        # tables are orders smaller: broadcast. order_col=Value makes
+        # the duplicate-fact pick deterministic (min) under any
+        # partitioning — the reference's first() is file-order bound
+        rows = join_facts(
+            rows, fdf, names, key, order_col="Value", broadcast=(level != "record")
+        )
+    if dwc:
+        rows = rows.toDF(*translate_columns(rows.columns, dwc=True))
+    else:
+        rows = rows.toDF(*sanitise_nms(rows.columns))
+    return rows, readme
+
+
+def read_lite_tsv(
+    spark: SparkSession,
+    tsv_path: str,
+    dwc: bool = True,
+    deselect: list[str] | None = None,
+) -> DataFrame:
+    """Load a lite-download TSV (the reference's other accepted input,
+    inst/tinytest/laji-data*.tsv — 58/59 translated-header columns, no
+    fact members). Header translation via LITE_VARS, deselect and
+    Darwin Core renames as for the citable shape; extra columns pass
+    through name-sanitised, so both column counts load unchanged."""
+    deselect = DESELECT if deselect is None else deselect
+    rows = _read_tsv(spark, tsv_path)
+    short = [LITE_VARS.get(c, c) for c in rows.columns]
+    rows = rows.toDF(*sanitise_nms(short))
+    rows = rows.select(*[c for c in rows.columns if c not in deselect])
+    if dwc:
+        rows = rows.toDF(*sanitise_nms([TO_DWC.get(c, c) for c in rows.columns]))
+    return rows
+
+
+def read_citable_zips_distributed(
+    spark: SparkSession,
+    zips_glob: str,
+    columns: list[str],
+    dwc: bool = True,
+) -> DataFrame:
+    """Many archives -> one DataFrame of the requested (translated)
+    columns plus `archive`: binaryFile scan + in-executor unzip/parse.
+
+    One task per archive, no driver-side I/O, no shuffle — the shape
+    that ingests a lake of citable downloads at cluster scale. Fact
+    enrichment is a per-archive follow-up join (facts parent ids never
+    cross archives)."""
+    import pandas as pd
+
+    want = list(columns)
+    out_fields = translate_columns(want, dwc) + ["archive"]
+    schema = ", ".join(f"`{c}` string" for c in out_fields)
+
+    def parse(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    members = route_members(zf.namelist())
+                    if "rows" not in members:
+                        continue
+                    with zf.open(members["rows"]) as fh:
+                        tdf = pd.read_csv(
+                            fh, sep="\t", dtype=str, quoting=3, usecols=lambda c: c in want
+                        )
+                tdf = tdf.reindex(columns=want)
+                tdf.columns = out_fields[:-1]
+                tdf["archive"] = path.rsplit("/", 1)[-1]
+                yield tdf
+
+    return (
+        spark.read.format("binaryFile")
+        .load(zips_glob)
+        .select("path", "content")
+        .mapInPandas(parse, schema)
+    )
