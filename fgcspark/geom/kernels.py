@@ -279,17 +279,91 @@ def segment_hexagon(p0: np.ndarray, p1: np.ndarray, r: float = 0.5) -> np.ndarra
     return ring
 
 
-def buffer_line(coords: np.ndarray, r: float = 0.5) -> list[list[np.ndarray]]:
-    """Per-segment quadsegs=1 buffer. Exact for single-segment lines
-    (the only case the fixtures exercise inside GCs); multi-segment
-    lines produce one hexagon per segment (union approximated by the
-    piece list — documented deviation from GEOS's merged outline)."""
-    out = []
-    for i in range(len(coords) - 1):
-        out.append([segment_hexagon(coords[i], coords[i + 1], r)])
-    if not out:
-        out.append([point_diamond(float(coords[0][0]), float(coords[0][1]), r)[0]])
+_FILLET_QUANTUM = np.pi / 2.0  # quadSegs=1: one facet per quarter turn
+
+
+def _offset_side(pts: np.ndarray, r: float) -> list[np.ndarray] | None:
+    """One directed pass of the offset-curve builder: walk `pts`
+    forward emitting the right-hand offset polyline, with quadSegs=1
+    arc facets on outside turns and offset-line intersections on
+    inside turns (GEOS OffsetSegmentGenerator semantics; the inside
+    case uses the exact intersection where GEOS inserts a noded loop —
+    same outline for simple lines). Returns None when an inside turn
+    has no in-segment intersection (sharp zigzag with segments shorter
+    than the buffer) — caller falls back to per-segment pieces."""
+    d = np.diff(pts, axis=0)
+    ll = np.hypot(d[:, 0], d[:, 1])
+    u = d / ll[:, None]
+    n = np.stack([u[:, 1], -u[:, 0]], axis=1) * r
+    out: list[np.ndarray] = [pts[0] + n[0]]
+    for i in range(len(u)):
+        out.append(pts[i + 1] + n[i])
+        if i == len(u) - 1:
+            break
+        cross = u[i, 0] * u[i + 1, 1] - u[i, 1] * u[i + 1, 0]
+        if cross > 0:  # outside turn: fillet arc around the vertex
+            theta = float(np.arctan2(cross, np.dot(u[i], u[i + 1])))
+            phi0 = float(np.arctan2(n[i, 1], n[i, 0]))
+            k = 1
+            while k * _FILLET_QUANTUM < theta - 1e-12:
+                a = phi0 + k * _FILLET_QUANTUM
+                out.append(pts[i + 1] + r * np.array([np.cos(a), np.sin(a)]))
+                k += 1
+            out.append(pts[i + 1] + n[i + 1])
+        elif cross < 0:  # inside turn: exact offset-line intersection
+            a1, b1 = pts[i] + n[i], pts[i + 1] + n[i]
+            a2, b2 = pts[i + 1] + n[i + 1], pts[i + 2] + n[i + 1]
+            d1, d2 = b1 - a1, b2 - a2
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if den == 0.0:
+                return None
+            t1 = ((a2 - a1)[0] * d2[1] - (a2 - a1)[1] * d2[0]) / den
+            t2 = ((a2 - a1)[0] * d1[1] - (a2 - a1)[1] * d1[0]) / den
+            if not (0.0 <= t1 <= 1.0 and 0.0 <= t2 <= 1.0):
+                return None
+            out[-1] = a1 + t1 * d1  # replace corner with the crossing
+            # next segment starts FROM the crossing: skip its own start
+            # point by pre-marking (handled since we only append ends)
+        # collinear (cross == 0): nothing to add
     return out
+
+
+def buffer_line(coords: np.ndarray, r: float = 0.5) -> list[list[np.ndarray]]:
+    """G7 — st_buffer(line, r, nQuadSegs=1), reference
+    R/finbif_geo_convert.R:509-513: ONE merged outline per polyline,
+    built as the closed offset curve (right side forward + round end
+    cap + right side of the reversal + start cap; quadSegs=1 puts one
+    facet vertex per quarter-turn, so a segment end cap is the diamond
+    tip). Exactly the hexagon for single-segment lines. Falls back to
+    per-segment hexagon pieces for degenerate zigzags where an inside
+    turn has no in-segment offset intersection (buffer wider than the
+    adjoining segments)."""
+    pts = np.asarray(coords, dtype=np.float64)
+    if len(pts) > 1:  # consecutive-duplicate drop, closure KEPT as data
+        keep = np.ones(len(pts), dtype=bool)
+        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        pts = pts[keep]
+    if len(pts) == 0:
+        return []
+    if len(pts) == 1:
+        return [point_diamond(float(pts[0][0]), float(pts[0][1]), r)]
+    if len(pts) > 2 and (pts[0] == pts[-1]).all():
+        # closed polyline: annulus semantics out of scope — pieces
+        return [[segment_hexagon(pts[i], pts[i + 1], r)] for i in range(len(pts) - 1)]
+    d0 = pts[1] - pts[0]
+    d1 = pts[-1] - pts[-2]
+    u0 = d0 / float(np.hypot(d0[0], d0[1]))
+    u1 = d1 / float(np.hypot(d1[0], d1[1]))
+    side_a = _offset_side(pts, r)
+    side_b = _offset_side(pts[::-1], r)
+    if side_a is None or side_b is None:  # fallback: per-segment pieces
+        return [[segment_hexagon(pts[i], pts[i + 1], r)] for i in range(len(pts) - 1)]
+    ring = np.array(
+        side_a + [pts[-1] + u1 * r] + side_b + [pts[0] - u0 * r, side_a[0]]
+    )
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = (ring[1:] != ring[:-1]).any(axis=1)
+    return [[ring[keep]]]
 
 
 def round_coords(g: Geom, digits: int = 0) -> Geom:

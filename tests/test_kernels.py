@@ -204,3 +204,77 @@ def test_transform_coords_affine():
 
 def test_geom_type():
     assert K.geom_type(parse_wkt("POINT (0 0)")) == "POINT"
+
+
+# --- G7 multi-segment line buffer (merged outline) -------------------------
+
+
+def _poly_dist(px, py, pts):
+    import numpy as np
+
+    best = np.full(px.shape[0], np.inf)
+    for i in range(len(pts) - 1):
+        x0, y0 = pts[i]
+        x1, y1 = pts[i + 1]
+        dx, dy = x1 - x0, y1 - y0
+        ll = dx * dx + dy * dy
+        t = np.clip(((px - x0) * dx + (py - y0) * dy) / ll, 0.0, 1.0)
+        best = np.minimum(best, np.hypot(px - (x0 + t * dx), py - (y0 + t * dy)))
+    return best
+
+
+def _ring_contains(px, py, ring):
+    import numpy as np
+
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cond = (y0[None, :] > py[:, None]) != (y1[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x1 - x0)[None, :] * (py[:, None] - y0[None, :]) / (y1 - y0)[None, :] + x0[None, :]
+    return (cond & (px[:, None] < xint)).sum(axis=1) % 2 == 1
+
+
+def test_buffer_line_single_segment_is_hexagon():
+    import numpy as np
+
+    out = K.buffer_line(np.array([[0.0, 0.0], [10.0, 0.0]]), 0.5)
+    assert len(out) == 1 and len(out[0]) == 1
+    ring = out[0][0]
+    want = K.segment_hexagon(np.array([0.0, 0.0]), np.array([10.0, 0.0]), 0.5)
+    # same vertex set, closure aside
+    a = {tuple(np.round(p, 12)) for p in ring}
+    b = {tuple(np.round(p, 12)) for p in want}
+    assert a == b
+
+
+@pytest.mark.parametrize(
+    "pts",
+    [
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]],                  # L (90° turn)
+        [[0.0, 0.0], [10.0, 0.0], [20.0, 5.0], [30.0, 0.0]],      # gentle zigzag
+        [[0.0, 0.0], [10.0, 0.0], [0.5, 9.0]],                    # sharp (>90°) turn
+        [[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0]],         # U shape
+    ],
+)
+def test_buffer_line_outline_matches_distance_field(pts):
+    import numpy as np
+
+    pts = np.array(pts)
+    r = 0.5
+    out = K.buffer_line(pts, r)
+    assert len(out) == 1, "multi-segment simple line must give ONE outline"
+    ring = out[0][0]
+    assert (ring[0] == ring[-1]).all(), "outline ring must be closed"
+    rng = np.random.default_rng(5)
+    lo = pts.min(axis=0) - 2 * r
+    hi = pts.max(axis=0) + 2 * r
+    px = rng.uniform(lo[0], hi[0], 4000)
+    py = rng.uniform(lo[1], hi[1], 4000)
+    d = _poly_dist(px, py, pts)
+    inside = _ring_contains(px, py, ring)
+    # quadsegs=1 facets inscribe the true arc: guaranteed containment
+    # only up to r*cos(pi/4); outside r it must never claim points
+    near = d <= r * np.cos(np.pi / 4) - 1e-9
+    far = d >= r + 1e-9
+    assert inside[near].all(), "point within the inscribed radius left outside"
+    assert (~inside[far]).all(), "point beyond the buffer radius claimed inside"
