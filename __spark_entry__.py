@@ -233,17 +233,17 @@ def _q_raster_roundtrip(spark, sf_dir):
 
 def _q_chunk_window(spark, sf_dir):
     """Reference n/skip chunk window (S1, api.R:144-162) as a query:
-    rows 100..149 of the pages table in url order."""
-    from pyspark.sql import Window
-
+    rows 100..149 of the pages table in url order. Numbered with the
+    two-pass range-partitioned global row number (fgcspark.windows) —
+    never a single-task `Window.orderBy`."""
     from fgcspark.pipeline import load_pages
+    from fgcspark.windows import chunk_window
 
-    w = Window.orderBy("url")
-    return (
-        load_pages(spark, _geo_dir(sf_dir))
-        .select("url", "lang", F.row_number().over(w).alias("_rn"))
-        .where((F.col("_rn") > 100) & (F.col("_rn") <= 150))
-        .drop("_rn")
+    return chunk_window(
+        load_pages(spark, _geo_dir(sf_dir)).select("url", "lang"),
+        "url",
+        skip=100,
+        n=50,
     )
 
 

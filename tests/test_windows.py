@@ -1,0 +1,47 @@
+"""Scalable global row number vs the single-task Window.orderBy."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fgcspark.windows import chunk_window, global_row_number
+
+
+@pytest.fixture(scope="module")
+def pages(spark, pages_dir):
+    return spark.read.parquet(f"{pages_dir}/pages.parquet").select("url", "lang")
+
+
+def test_matches_naive_global_window(spark, pages):
+    got = global_row_number(pages, "url").select("url", "_rn")
+    want = pages.select(
+        "url", F.row_number().over(Window.orderBy("url")).alias("_rn")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_chunk_window_slice(spark, pages):
+    got = sorted(r["url"] for r in chunk_window(pages, "url", 100, 50).collect())
+    want = sorted(r["url"] for r in pages.orderBy("url").offset(100).limit(50).collect())
+    assert got == want and len(got) == 50
+
+
+def test_no_single_task_exchange(spark, pages):
+    # the sorted layout is produced by a range exchange (parallel),
+    # never a SinglePartition exchange; the checkpointed downstream
+    # plan is a narrow mapInPandas over those blocks
+    from pyspark.sql import functions as F
+
+    staged = (
+        pages.repartitionByRange(4, F.col("url"))
+        .sortWithinPartitions("url")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in staged.lower()
+    assert "singlepartition" not in staged.lower()
+    final = global_row_number(pages, "url")._jdf.queryExecution().executedPlan().toString()
+    assert "singlepartition" not in final.lower()
+    assert "mapinpandas" in final.lower()
