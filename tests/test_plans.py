@@ -120,12 +120,8 @@ def test_knn_single_materialization(spark, pts, pages_dir):
     from fgcspark.joins.knn import knn_join
 
     probes = spark.read.parquet(f"{pages_dir}/probes.parquet").limit(5)
+    before = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     out = knn_join(spark, pts.select("url", "e", "n"), probes, k=3)
-    # result is small and already collected to a local DataFrame;
-    # correctness of caching is observable via the storage API having
-    # been used and released (unpersist in finally)
     assert out.count() == 15
-    leftovers = [
-        r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    ]
-    assert not leftovers, "knn_join must unpersist its cached projection"
+    after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert after <= before, "knn_join must unpersist every cache it created"
