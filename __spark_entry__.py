@@ -340,6 +340,19 @@ def _q_minhash(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, tau_pct=6)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> one keeper per
+    cluster (fgcspark.cc): the step after pair mining in a real
+    training-data dedup. Oracle: DuckDB recursive CTE transitive
+    closure over the same (independently recomputed) pair set."""
+    from fgcspark.cc import dedup_clusters
+    from fgcspark.textops import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, tau_pct=6)
+    return dedup_clusters(docs, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     from fgcspark.textops import simhash_pairs
 
@@ -515,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash,
         "langid": _q_langid,
         "quality_signals": _q_quality,
@@ -849,6 +863,22 @@ def oracle_sql() -> dict[str, str]:
         WHERE 100 * common >= 6 * (sa.n_sh + sb.n_sh - common)
         """
     )
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE edges AS (
+            SELECT id_a, id_b FROM ({sql['minhash_lsh_pairs']})
+        ), sym AS (
+            SELECT id_a AS u, id_b AS v FROM edges
+            UNION
+            SELECT id_b, id_a FROM edges
+        ), reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id,
+               u = min(v) AS is_keeper
+        FROM reach GROUP BY u
+    """
     sql["simhash_pairs"] = f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
