@@ -47,6 +47,14 @@ def cmd_convert(args) -> int:
     if args.format == "geojson":
         paths = write_geojson_layers(df, args.output, args.basename)
         print(json.dumps({"layers": paths}))
+    elif args.format == "gpkg":
+        # the reference's native output (S3 gate allows gpkg|none,
+        # R/finbif_geo_convert.R:60-73): one file, layer per type
+        from fgcspark.sinks import write_gpkg
+
+        gpkg = f"{args.output.rstrip('/')}/{args.basename}_geo.gpkg"
+        layers = write_gpkg(df, gpkg, args.basename)
+        print(json.dumps({"output": gpkg, "layers": layers}))
     else:
         write_layered(df, args.output)
         print(json.dumps({"output": args.output, "format": "parquet"}))
@@ -126,7 +134,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output", required=True)
     c.add_argument("--geo", default="point", choices=["point", "bbox", "footprint"])
     c.add_argument("--crs", default="wgs84", choices=["wgs84", "euref"])
-    c.add_argument("--format", default="parquet", choices=["parquet", "geojson"])
+    c.add_argument(
+        "--format", default="parquet", choices=["parquet", "geojson", "gpkg"]
+    )
     c.add_argument("--basename", default="fgc_geo")
     c.add_argument("--resume", action="store_true", help="chunked resumable run")
     c.add_argument("--chunks", type=int, default=16)
