@@ -340,6 +340,15 @@ def _q_minhash(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, tau_pct=6)
 
 
+def _q_embed_neardup_ivf(spark, sf_dir):
+    """Sub-quadratic IVF-bucketed near-dup (the 100 TB path next to
+    the exact block-cogroup baseline): centroid assignment is a
+    deterministic spec the DuckDB oracle mirrors exactly."""
+    from fgcspark.sim import embedding_neardup_pairs_ivf
+
+    return embedding_neardup_pairs_ivf(_t(spark, sf_dir, "embeddings"), tau=0.4)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components -> one keeper per
     cluster (fgcspark.cc): the step after pair mining in a real
@@ -542,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "ann_topk_brute": _q_ann_topk,
         "ann_topk_ivf": _q_ann_ivf,
+        "embed_neardup_ivf": _q_embed_neardup_ivf,
     }
 
 
@@ -961,6 +971,28 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rn
             FROM v, q WHERE v.vec_id <> q.query_id
         ) WHERE rn <= 10
+    """
+    sql["embed_neardup_ivf"] = """
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS cid, v AS cv, nrm AS cn FROM v WHERE vec_id % 50 = 0
+        ), assigned AS (
+            SELECT vec_id, v, nrm, cid FROM (
+                SELECT v.vec_id, v.v, v.nrm, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.v, cent.cv) / (v.nrm * cent.cn) DESC, cent.cid
+                       ) AS rn
+                FROM v, cent
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b USING (cid)
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
     """
     sql["ann_topk_ivf"] = """
         WITH v AS (

@@ -164,6 +164,54 @@ def embedding_neardup_pairs_vec(
     )
 
 
+def embedding_neardup_pairs_ivf(
+    df: DataFrame,
+    tau: float = 0.9,
+    centroid_mod: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic near-dup: IVF-bucket first, score pairs ONLY
+    within a bucket. The 100 TB path next to the exact block-cogroup
+    baseline (embedding_neardup_pairs_vec): work drops from O(n^2/B)
+    to sum over buckets of O(|bucket|^2), and a near-dup pair lands in
+    the same bucket whenever both vectors agree on their nearest
+    centroid — recall < 1 by design, deterministic spec so an external
+    oracle can mirror it exactly."""
+    base = with_norm(df, vec_col)
+    cent = base.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
+    )
+    cos_c = cosine(F.col("cv"), F.col("cn"), F.col("_v"), F.col("_norm"))
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("cid"))
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cos_c)
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "_v", "_norm", "cid")
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
+    return (
+        a.join(b, "cid")  # bucket-local equi-join, never all-pairs
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= tau)
+        .select("id_a", "id_b")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     n_queries: int = 5,
