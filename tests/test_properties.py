@@ -157,3 +157,14 @@ def test_s2_parent_child_invariants(e, n, lvl):
         p = s2.parent(cid)
         assert cid in s2.children(p)
         assert s2.from_en(e, n, lvl - 1) == p
+
+
+@settings(max_examples=200, deadline=None)
+@given(geoms())
+def test_wkb_roundtrip_property(g):
+    """WKB encode/decode is lossless for every generated geometry —
+    float64 coordinates survive bit-exactly."""
+    from fgcspark.geom.wkb import from_wkb, to_wkb
+
+    g2 = from_wkb(to_wkb(g))
+    assert to_wkt(g2) == to_wkt(g)
