@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "token_counts",
     "doc_fingerprint",
     "embed_neardup",
+    "embed_neardup_ivf",
+    "dedup_clusters",
     "ann_topk_ivf",
     "media_metadata",
     "media_frames",
