@@ -49,9 +49,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch size bounds pandas-UDF memory per task; geometry
-        # kernels are O(batch) so 10k rows keeps peak RSS flat at scale.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size bounds pandas-UDF memory per task. Profiled
+        # on the spatial core at 32 cores (round 2): 10k batches cost
+        # ~1.5-1.7x vs 64k+ (per-batch IPC + kernel-invocation overhead
+        # dominates at high worker counts); 64k keeps the heaviest
+        # batch (footprint rows with WKT strings) under ~15 MB/worker.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("FGC_ARROW_BATCH", "65536"),
+        )
         .config("spark.driver.memory", os.environ.get("FGC_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
