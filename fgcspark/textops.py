@@ -160,27 +160,41 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     m = F.md5(F.col("tok"))
     t_lo = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
     t_hi = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+
+    # SWAR lane packing: 64 separate sum() columns push the aggregate
+    # past Spark's codegen field budget (observed: WholeStageCodegen
+    # absent, ~2x slower). Pack 3 bit-counters per 64-bit sum in 21-bit
+    # lanes (correct for docs up to 2^21 tokens), so the plan carries
+    # 22 packed sums + n_tokens instead of 64 sums — codegen-sized, and
+    # bit j is set iff 2*count_j > n_tokens (same vote rule as ±1 sums).
+    def bit(j):
+        h = t_lo if j < 32 else t_hi
+        return F.shiftright(h, j % 32).bitwiseAND(F.lit(1))
+
+    packs = []
+    for g in range(22):
+        lanes = None
+        for lane in range(3):
+            j = g * 3 + lane
+            if j >= 64:
+                break
+            term = bit(j) * F.lit(1 << (21 * lane))
+            lanes = term if lanes is None else lanes + term
+        packs.append(F.sum(lanes).alias(f"p{g}"))
     votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(t_lo, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(32)
-        ],
-        *[
-            F.sum(
-                F.when(F.shiftright(t_hi, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{32 + j}")
-            for j in range(32)
-        ],
+        F.count(F.lit(1)).alias("n_tok"), *packs
     )
+
     lo = None
     hi = None
-    for j in range(32):
-        bl = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bh = F.when(F.col(f"s{32 + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        lo = bl if lo is None else lo + bl
-        hi = bh if hi is None else hi + bh
+    for j in range(64):
+        g, lane = divmod(j, 3)
+        cnt = F.shiftright(F.col(f"p{g}"), 21 * lane).bitwiseAND(F.lit(0x1FFFFF))
+        b = F.when(cnt * 2 > F.col("n_tok"), F.lit(1 << (j % 32))).otherwise(F.lit(0))
+        if j < 32:
+            lo = b if lo is None else lo + b
+        else:
+            hi = b if hi is None else hi + b
     return votes.select(
         F.col(id_col), lo.cast("long").alias("sim_lo"), hi.cast("long").alias("sim_hi")
     )
