@@ -78,15 +78,22 @@ def knn_join(
         "n",
         F.floor(F.col("n") / s).cast("long").alias("cell_n"),
         F.floor(F.col("e") / s).cast("long").alias("cell_e"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     win = W.Window.partitionBy("probe_id").orderBy("dist", key_col)
     active = np.ones(len(pid), dtype=bool)
     state: DataFrame | None = None
     to_unpersist: list[DataFrame] = []
+    pts_cached = False
     r_lo, r_hi = 0, 1
     try:
         while active.any() and r_lo <= max_rings:
+            if state is not None and not pts_cached:
+                # dense inputs certify on the first ring batch and
+                # never re-scan; pay the cache materialization only
+                # when a second pass is actually needed
+                pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+                pts_cached = True
             cells = []
             for i in np.nonzero(active)[0]:
                 cn, ce = pcell[i]
@@ -132,5 +139,6 @@ def knn_join(
     finally:
         for df in to_unpersist:
             df.unpersist()
-        pts.unpersist()
+        if pts_cached:
+            pts.unpersist()
     return out
