@@ -55,14 +55,16 @@ def connected_components(
             .select("u", F.least(F.col("lbl"), F.coalesce("nbr", "lbl")).alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        # labels are monotone non-increasing, so the exact label sum
+        # (decimal: no int64 overflow at any scale) is a fixpoint
+        # detector — one aggregation instead of a join of old vs new
+        sig = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        prev_sig = getattr(labels, "_cc_sig", None)
+        new_labels._cc_sig = sig
         labels = new_labels
-        if changed == 0:
+        if prev_sig is not None and sig == prev_sig:
             break
     else:  # pragma: no cover - max_iter tuned far above real diameters
         raise RuntimeError("connected_components did not converge")
