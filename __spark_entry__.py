@@ -117,6 +117,19 @@ def _q_pip(spark, sf_dir):
     return pip_join(spark, pts, polys)
 
 
+def _q_pip_partitioned(spark, sf_dir):
+    """Broadcast-free PIP twin: distributed cover table (rings carried
+    as WKB through the cell equi-join), same exact output as pip_join —
+    the path for polygon layers too large for a driver-side index."""
+    from fgcspark.joins.pip import pip_join_partitioned
+    from fgcspark.pipeline import pages_to_points
+
+    d = _geo_dir(sf_dir)
+    pts = pages_to_points(spark, d).select("url", "e", "n")
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    return pip_join_partitioned(spark, pts, polys)
+
+
 def _q_pip_counts(spark, sf_dir):
     return (
         _q_pip(spark, sf_dir)
@@ -517,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_10km_salted": _q_tile_counts_salted,
         "pip_join": _q_pip,
         "pip_counts": _q_pip_counts,
+        "pip_join_partitioned": _q_pip_partitioned,
         "knn_k5": _q_knn,
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
@@ -617,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
     sql["pip_join"] = (
         f"SELECT url, poly_id FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet')"
     )
+    sql["pip_join_partitioned"] = sql["pip_join"]
     sql["pip_counts"] = (
         f"SELECT poly_id, count(*) AS n_pages FROM "
         f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet') GROUP BY 1"

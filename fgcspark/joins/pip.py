@@ -214,3 +214,131 @@ def pip_join(
         cand.filter(refine(F.col("e"), F.col("n"), F.col("poly_id")))
         .select(key_col, "poly_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-free partitioned PIP: the build side as a distributed table
+# ---------------------------------------------------------------------------
+
+
+def polygon_cover_table(
+    polygons: DataFrame, cell_km: int = DEFAULT_CELL_KM
+) -> DataFrame:
+    """Distributed twin of PolygonIndex: parse + project each polygon
+    INSIDE executors, serialize its projected rings as WKB, and explode
+    its bbox cell cover -> (cell_n, cell_e, poly_id, rings_wkb, bbox).
+
+    Use when the polygon layer itself is too large to build on the
+    driver (pip_join's index path) — e.g. joining pages against every
+    admin boundary on earth. One row per (cell, polygon); downstream
+    the PIP join is a plain cell equi-join either side can shuffle on."""
+    s = cell_km * 1000
+    out_schema = T.StructType(
+        [
+            T.StructField("cell_n", T.LongType()),
+            T.StructField("cell_e", T.LongType()),
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("rings_wkb", T.BinaryType()),
+            T.StructField("x0", T.DoubleType()),
+            T.StructField("y0", T.DoubleType()),
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+        ]
+    )
+
+    def build(batches):
+        from fgcspark.geom.wkb import to_wkb
+        from fgcspark.geom.wkt import Geom
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("cell_n", "cell_e", "poly_id", "rings_wkb", "x0", "y0", "x1", "y1")}
+            for pid, wkt in zip(pdf["poly_id"], pdf["wkt"]):
+                g = parse_wkt(wkt)
+                if g.gtype == "MULTIPOLYGON":
+                    raw = [ring for part in g.coords for ring in part]
+                else:
+                    raw = list(g.coords)
+                proj = []
+                for ring in raw:
+                    e, n = tm.geodetic_to_tm35(ring[:, 0], ring[:, 1])
+                    proj.append(np.stack([e, n], axis=1))
+                allv = np.vstack(proj)
+                x0, y0 = float(allv[:, 0].min()), float(allv[:, 1].min())
+                x1, y1 = float(allv[:, 0].max()), float(allv[:, 1].max())
+                # rings as a metric-frame MULTILINESTRING WKB payload
+                wkb = to_wkb(Geom("MULTILINESTRING", proj))
+                for nb in range(int(np.floor(y0 / s)), int(np.floor(y1 / s)) + 1):
+                    for eb in range(int(np.floor(x0 / s)), int(np.floor(x1 / s)) + 1):
+                        rows["cell_n"].append(nb)
+                        rows["cell_e"].append(eb)
+                        rows["poly_id"].append(int(pid))
+                        rows["rings_wkb"].append(wkb)
+                        rows["x0"].append(x0)
+                        rows["y0"].append(y0)
+                        rows["x1"].append(x1)
+                        rows["y1"].append(y1)
+            yield pd.DataFrame(rows)
+
+    return polygons.select("poly_id", "wkt").mapInPandas(build, out_schema)
+
+
+def pip_join_partitioned(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_km: int = DEFAULT_CELL_KM,
+    key_col: str = "url",
+) -> DataFrame:
+    """Exact PIP join with a DISTRIBUTED build side: same output as
+    pip_join, no driver-side index, no broadcast requirement. The
+    cover table shuffles on (cell_n, cell_e) against the page cells
+    (Spark picks broadcast automatically when the cover is small —
+    same physical plan as pip_join in that regime); the refine
+    deserializes each polygon's rings once per batch and applies the
+    shared even-odd crossing kernel."""
+    s = cell_km * 1000
+    cover = polygon_cover_table(polygons, cell_km)
+    cand = points.select(
+        key_col,
+        "e",
+        "n",
+        F.floor(F.col("n") / s).cast("long").alias("cell_n"),
+        F.floor(F.col("e") / s).cast("long").alias("cell_e"),
+    ).join(cover, ["cell_n", "cell_e"])
+
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType()), T.StructField("poly_id", T.LongType())]
+    )
+
+    def refine(batches):
+        from fgcspark.geom.wkb import from_wkb
+
+        ring_cache: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ex = pdf["e"].to_numpy()
+            ny = pdf["n"].to_numpy()
+            pv = pdf["poly_id"].to_numpy()
+            keep = np.zeros(len(pdf), dtype=bool)
+            inbb = (
+                (ex >= pdf["x0"].to_numpy())
+                & (ex <= pdf["x1"].to_numpy())
+                & (ny >= pdf["y0"].to_numpy())
+                & (ny <= pdf["y1"].to_numpy())
+            )
+            for p in np.unique(pv):
+                sel = np.nonzero((pv == p) & inbb)[0]
+                if sel.size == 0:
+                    continue
+                if p not in ring_cache:
+                    i = int(np.nonzero(pv == p)[0][0])
+                    ring_cache[p] = from_wkb(bytes(pdf["rings_wkb"].iloc[i])).coords
+                ins = np.zeros(sel.size, dtype=bool)
+                for ring in ring_cache[p]:
+                    ins ^= _pip_mask(ex[sel], ny[sel], ring)
+                keep[sel] = ins
+            yield pdf.loc[keep, [key_col, "poly_id"]]
+
+    return cand.mapInPandas(refine, out_schema)

@@ -99,3 +99,13 @@ def test_embed_neardup_vec_equals_hof(spark):
     a = set(map(tuple, embedding_neardup_pairs(df, tau=0.4).collect()))
     b = set(map(tuple, embedding_neardup_pairs_vec(df, tau=0.4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_pip_partitioned_matches_broadcast_path(spark, pages_dir, points):
+    from fgcspark.joins.pip import pip_join_partitioned
+
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    a = pip_join(spark, points, polys).toPandas()
+    b = pip_join_partitioned(spark, points, polys).toPandas()
+    key = lambda d: set(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
+    assert key(a) == key(b) and len(a) == len(b)
