@@ -61,6 +61,37 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_convert_occ(args) -> int:
+    """The reference's end-to-end flow on its native input (S1->S7):
+    citable zip -> facts/DwC load -> geometry -> layered sink -> readme
+    extraction + output zip bundle (api.R:228-264)."""
+    from pathlib import Path
+
+    from fgcspark.packaging import extract_readme, package_outputs
+    from fgcspark.pipeline import convert_citable, write_layered
+    from fgcspark.sinks import write_geojson_layers, write_gpkg
+
+    spark = _spark(args)
+    basename = args.basename or Path(args.input).name.removesuffix(".zip")
+    df, _readme = convert_citable(
+        spark, args.input, geo=args.geo, crs=args.crs, dwc=not args.no_dwc
+    )
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    if args.format == "gpkg":
+        gpkg = out / f"{basename}_geo.gpkg"
+        layers = write_gpkg(df, str(gpkg), basename)
+    elif args.format == "geojson":
+        layers = write_geojson_layers(df, str(out), basename)
+    else:
+        write_layered(df, str(out / "layers"))
+        layers = {"parquet": str(out / "layers")}
+    extract_readme(args.input, out)
+    bundle = package_outputs(out, basename, args.format)
+    print(json.dumps({"layers": layers, "bundle": str(bundle)}))
+    return 0
+
+
 def cmd_tiles(args) -> int:
     from fgcspark.pipeline import tile_counts
 
@@ -141,6 +172,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--resume", action="store_true", help="chunked resumable run")
     c.add_argument("--chunks", type=int, default=16)
     c.set_defaults(fn=cmd_convert)
+
+    o = sub.add_parser(
+        "convert-occ",
+        help="convert a citable-download zip (the reference's native input)",
+    )
+    o.add_argument("--input", required=True, help="path to HBF.<id>.zip")
+    o.add_argument("--output", required=True)
+    o.add_argument("--geo", default="point", choices=["point", "bbox", "footprint"])
+    o.add_argument("--crs", default="wgs84", choices=["wgs84", "euref"])
+    o.add_argument("--format", default="gpkg", choices=["parquet", "geojson", "gpkg"])
+    o.add_argument("--basename", default=None, help="defaults to the zip stem")
+    o.add_argument("--no-dwc", action="store_true")
+    o.set_defaults(fn=cmd_convert_occ)
 
     t = sub.add_parser("tiles", help="docs per FinBIF grid tile")
     t.add_argument("--input", required=True)

@@ -272,11 +272,18 @@ def count_substitution_rows(df: DataFrame) -> int:
 
 
 def geo_pipeline(spark, data_dir: str, geo: str = "point", crs: str = "wgs84") -> DataFrame:
-    """Full reference pipeline for one (geo, crs) combo; returns the
-    page table + `geo_wkt` + `geom_type` (layer key for partitioned
-    writes, reference R/finbif_geo_convert.R:586-630)."""
+    """Full reference pipeline for one (geo, crs) combo over the pages
+    table; returns the page table + `geo_wkt` + `geom_type` (layer key
+    for partitioned writes, reference R/finbif_geo_convert.R:586-630)."""
+    return geo_transform(with_extracted(load_pages(spark, data_dir)), geo, crs)
+
+
+def geo_transform(df: DataFrame, geo: str = "point", crs: str = "wgs84") -> DataFrame:
+    """The geometry stage alone: any DataFrame carrying `lon`/`lat`
+    (double) + `footprint` (WKT string) columns -> + `geo_wkt`,
+    `geom_type`. Used by geo_pipeline (web pages) AND by the citable-
+    archive path (occurrence rows, the reference's native input)."""
     assert geo in GEO_MODES and crs in CRS_MODES
-    df = with_extracted(load_pages(spark, data_dir))
     if geo == "point":
         df = with_point(df)
         if crs == "euref":
@@ -313,6 +320,33 @@ def geo_pipeline(spark, data_dir: str, geo: str = "point", crs: str = "wgs84") -
     df = df.withColumn("geom_type", gtype)
     # reference drops the consumed spatial input columns (:210,232,291)
     return df.drop("lat", "lon", "lat_s", "lon_s", "footprint")
+
+
+def convert_citable(
+    spark,
+    zip_path: str,
+    geo: str = "point",
+    crs: str = "wgs84",
+    dwc: bool = True,
+) -> tuple[DataFrame, str | None]:
+    """The reference's ACTUAL end-to-end conversion on its native
+    input: citable zip -> load (facts, deselect, DwC) -> spatial-
+    column resolve (get_spatial_input_nms, R/finbif_geo_convert.R:
+    109-126) -> point/bbox/footprint geometry + layer type. Returns
+    (converted rows, readme text for S7 packaging)."""
+    from fgcspark.io.archive import read_citable_zip
+
+    rows, readme = read_citable_zip(spark, zip_path, dwc=dwc)
+    lat_nm = "decimalLatitude" if dwc else "lat_wgs84"
+    lon_nm = "decimalLongitude" if dwc else "lon_wgs84"
+    fp_nm = "footprintWKT" if dwc else "footprint_wgs84"
+    df = (
+        rows.withColumn("lat", F.col(lat_nm).cast("double"))
+        .withColumn("lon", F.col(lon_nm).cast("double"))
+        .withColumn("footprint", F.col(fp_nm))
+        .drop(lat_nm, lon_nm, fp_nm)
+    )
+    return geo_transform(df, geo, crs), readme
 
 
 def write_layered(df: DataFrame, out_path: str) -> None:

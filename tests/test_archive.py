@@ -167,3 +167,20 @@ def test_lite_tsv_reader(spark, tmp_path):
     row = df.collect()[0]
     assert row["footprintWKT"] == "POINT (24.5 60.5)"
     assert row["occurrenceID"] == "http://tun.fi/JX.1#1"
+
+
+def test_convert_citable_end_to_end(spark, archive_dir):
+    from fgcspark.pipeline import convert_citable
+
+    df, readme = convert_citable(
+        spark, f"{archive_dir}/HBF.{HBF_ID}.zip", geo="point", crs="wgs84"
+    )
+    assert readme and f"HBF.{HBF_ID}" in readme
+    assert {"geo_wkt", "geom_type"} <= set(df.columns)
+    rows = df.select("geom_type", "geo_wkt").collect()
+    assert all(r["geom_type"] == "POINT" for r in rows)
+    # rows without coords fall back to the footprint centroid (G3);
+    # every fixture row carries coords or a footprint, so none is EMPTY
+    assert sum(r["geo_wkt"] == "POINT EMPTY" for r in rows) == 0
+    # spatial input columns consumed (P3)
+    assert not {"lat", "lon", "footprint"} & set(df.columns)
