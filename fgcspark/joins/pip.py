@@ -291,54 +291,60 @@ def pip_join_partitioned(
     key_col: str = "url",
 ) -> DataFrame:
     """Exact PIP join with a DISTRIBUTED build side: same output as
-    pip_join, no driver-side index, no broadcast requirement. The
-    cover table shuffles on (cell_n, cell_e) against the page cells
-    (Spark picks broadcast automatically when the cover is small —
-    same physical plan as pip_join in that regime); the refine
-    deserializes each polygon's rings once per batch and applies the
-    shared even-odd crossing kernel."""
+    pip_join, no driver-side index, no broadcast requirement.
+
+    Shape: points and the cover table are COGROUPED by cell — both
+    sides shuffle once on (cell_n, cell_e) and each polygon's WKB
+    rings cross the wire once per covered cell, never once per
+    candidate point row (a plain equi-join would multiply the ring
+    payload by the points-per-cell factor). Inside each cell group
+    one numpy pass bbox-prefilters and even-odd-refines every
+    (point, polygon) pair. Hot cells are the skew unit here; at the
+    extreme, shrink cell_km (smaller groups) or fall back to the
+    broadcast path for the hot cells only."""
     s = cell_km * 1000
     cover = polygon_cover_table(polygons, cell_km)
-    cand = points.select(
+    pts = points.select(
         key_col,
         "e",
         "n",
         F.floor(F.col("n") / s).cast("long").alias("cell_n"),
         F.floor(F.col("e") / s).cast("long").alias("cell_e"),
-    ).join(cover, ["cell_n", "cell_e"])
+    )
 
     out_schema = T.StructType(
         [T.StructField(key_col, T.StringType()), T.StructField("poly_id", T.LongType())]
     )
 
-    def refine(batches):
+    def refine(key, pts_pdf, cov_pdf):
         from fgcspark.geom.wkb import from_wkb
 
-        ring_cache: dict = {}
-        for pdf in batches:
-            if len(pdf) == 0:
+        empty = pd.DataFrame({key_col: pd.Series(dtype="object"),
+                              "poly_id": pd.Series(dtype="int64")})
+        if len(pts_pdf) == 0 or len(cov_pdf) == 0:
+            return empty
+        ex = pts_pdf["e"].to_numpy()
+        ny = pts_pdf["n"].to_numpy()
+        keys = pts_pdf[key_col].to_numpy()
+        out_k, out_p = [], []
+        for row in cov_pdf.itertuples(index=False):
+            inbb = (ex >= row.x0) & (ex <= row.x1) & (ny >= row.y0) & (ny <= row.y1)
+            if not inbb.any():
                 continue
-            ex = pdf["e"].to_numpy()
-            ny = pdf["n"].to_numpy()
-            pv = pdf["poly_id"].to_numpy()
-            keep = np.zeros(len(pdf), dtype=bool)
-            inbb = (
-                (ex >= pdf["x0"].to_numpy())
-                & (ex <= pdf["x1"].to_numpy())
-                & (ny >= pdf["y0"].to_numpy())
-                & (ny <= pdf["y1"].to_numpy())
-            )
-            for p in np.unique(pv):
-                sel = np.nonzero((pv == p) & inbb)[0]
-                if sel.size == 0:
-                    continue
-                if p not in ring_cache:
-                    i = int(np.nonzero(pv == p)[0][0])
-                    ring_cache[p] = from_wkb(bytes(pdf["rings_wkb"].iloc[i])).coords
-                ins = np.zeros(sel.size, dtype=bool)
-                for ring in ring_cache[p]:
-                    ins ^= _pip_mask(ex[sel], ny[sel], ring)
-                keep[sel] = ins
-            yield pdf.loc[keep, [key_col, "poly_id"]]
+            sel = np.nonzero(inbb)[0]
+            rings = from_wkb(bytes(row.rings_wkb)).coords
+            ins = np.zeros(sel.size, dtype=bool)
+            for ring in rings:
+                ins ^= _pip_mask(ex[sel], ny[sel], ring)
+            hit = sel[ins]
+            out_k.extend(keys[hit].tolist())
+            out_p.extend([int(row.poly_id)] * len(hit))
+        if not out_k:
+            return empty
+        return pd.DataFrame({key_col: out_k, "poly_id": out_p})
 
-    return cand.mapInPandas(refine, out_schema)
+    return (
+        pts.groupBy("cell_n", "cell_e")
+        .cogroup(cover.groupBy("cell_n", "cell_e"))
+        .applyInPandas(refine, out_schema)
+    )
