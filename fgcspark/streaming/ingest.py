@@ -115,3 +115,37 @@ def windowed_tile_counts(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_pip(
+    spark: SparkSession,
+    input_dir: str,
+    polygons: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cell_km: int = 50,
+    glob: str | None = None,
+):
+    """Streaming point-in-polygon: pages stream -> extract/point/
+    project -> stream-static broadcast join against the (cell, poly)
+    cover -> exact refine -> parquet sink (AvailableNow).
+
+    The build side is the SAME driver-built broadcast index as the
+    batch pip_join — stream-static joins are stateless per micro-batch
+    so no watermark is needed, and identical inputs give identical
+    rows to the batch path (asserted in tests)."""
+    from fgcspark.joins.pip import pip_join
+
+    pts = pages_stream_to_points(read_pages_stream(spark, input_dir, glob))
+    joined = pip_join(
+        spark, pts.select("url", "e", "n"), polygons, cell_km=cell_km
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -105,3 +105,21 @@ def test_stateful_dedup_across_batches_and_restarts(spark, pages_dir, staged, tm
     got_pd = got.select("url", "cell_10km").toPandas().set_index("url").sort_index()
     want = truth.set_index("url").sort_index()
     assert (got_pd["cell_10km"] == want["cell_10km"]).all()
+
+
+def test_streaming_pip_matches_batch(spark, pages_dir, staged, tmp_path):
+    from fgcspark.joins.pip import pip_join
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.streaming.ingest import streaming_pip
+
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    out = str(tmp_path / "pip_out")
+    ck = str(tmp_path / "pip_ck")
+    streaming_pip(spark, str(staged), polys, out, ck)
+    got = spark.read.parquet(out)
+    want = pip_join(
+        spark, pages_to_points(spark, pages_dir).select("url", "e", "n"), polys
+    )
+    key = lambda df: {(r["url"], r["poly_id"]) for r in df.collect()}
+    assert key(got) == key(want)
+    assert got.count() == want.count()
