@@ -88,31 +88,65 @@ def ngram_jaccard_pairs(
     ).select("id_a", "id_b", "common", "n_a", "n_b")
 
 
+def shingle_array(n: int = 3, text_col: str = "text"):
+    """Distinct word n-gram shingles as ONE array column — a per-row
+    expression, no explode, no shuffle."""
+    return F.array_distinct(
+        F.expr(
+            f"filter(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+            f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')),"
+            " s -> length(s) > 0)"
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, n: int = 3, tau_pct: int = 50, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """MinHash(16) + LSH(4 bands x 4): candidate pairs from band-bucket
     equi-joins, then exact Jaccard verification — the scale path for
-    near-dup dedup (candidates only, never all pairs)."""
-    sh = shingles(df, n, id_col, text_col).withColumn(
-        "h", md5_56(F.col("shingle")) % HASH_MOD
+    near-dup dedup (candidates only, never all pairs).
+
+    Physical shape (reworked round 2): signatures are computed as
+    per-row ARRAY expressions — `array_min(transform(shingles, ...))`
+    per permutation — so the signature stage is a map-only projection:
+    the exploded shingle table is NEVER shuffled (the old groupBy-min
+    moved every (doc, shingle) row through an exchange). The only
+    shuffles left are the tiny band-key self-join and the
+    candidate-only verification, whose `common` count is an exact
+    string-array intersection (no hash-collision exposure)."""
+    arr = shingle_array(n, text_col)
+    docs = df.select(F.col(id_col), arr.alias("sh_arr")).where(F.size("sh_arr") > 0)
+    # one fold over the shingle array: md5 hashed ONCE per shingle, all
+    # 16 permutation minima carried in a single accumulator array
+    a_lit = ", ".join(f"{a}L" for a in A_J)
+    b_lit = ", ".join(f"{b}L" for b in B_J)
+    sig = F.expr(
+        f"""reduce(
+            transform(sh_arr, s -> conv(substring(md5(s), 1, 14), 16, 10) % {HASH_MOD}L),
+            array_repeat(CAST({HASH_MOD} AS BIGINT), {N_HASHES}),
+            (acc, h) -> zip_with(acc, sequence(0, {N_HASHES - 1}), (m, j) ->
+                least(m, (element_at(array({a_lit}), CAST(j + 1 AS INT)) * h
+                          + element_at(array({b_lit}), CAST(j + 1 AS INT))) % {HASH_MOD}L))
+        )"""
     )
-    mh = sh.groupBy(id_col).agg(
+    mh = docs.select(F.col(id_col), sig.alias("sig"))
+    rows_per_band = N_HASHES // N_BANDS
+    band_keys = F.array(
         *[
-            F.min((F.lit(A_J[j]) * F.col("h") + F.lit(B_J[j])) % HASH_MOD).alias(f"m{j}")
-            for j in range(N_HASHES)
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(N_BANDS)
         ]
     )
-    rows_per_band = N_HASHES // N_BANDS
-    bands = []
-    for b in range(N_BANDS):
-        key = F.concat_ws(
-            ",", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        bands.append(mh.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionAll(x)
+    banded = mh.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "bkey")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -121,27 +155,25 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    # exact-verify ONLY the candidate pairs: attach id_b fan-out to
-    # id_a's shingles, then count shingle matches per pair. The full
-    # all-pairs shingle join (ngram_jaccard_pairs) is never built —
-    # at 10^12 docs the verification cost is O(|candidates| x shingles
-    # per doc), which is the whole point of LSH.
-    sh2 = shingles(df, n, id_col, text_col)
-    sizes = sh2.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = cand.join(sh2.withColumnRenamed(id_col, "id_a"), "id_a")
-    common = (
-        a_sh.join(
-            sh2.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"]
+    # exact-verify ONLY the candidate pairs via string-array
+    # intersection; the all-pairs shingle join is never built
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("arr_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("arr_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("common"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .where(
+            F.lit(100) * F.col("common")
+            >= F.lit(tau_pct) * (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return common.join(sa, "id_a").join(sb, "id_b").where(
-        F.lit(100) * F.col("common")
-        >= F.lit(tau_pct) * (F.col("n_a") + F.col("n_b") - F.col("common"))
-    ).select("id_a", "id_b", "common", "n_a", "n_b")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
