@@ -304,18 +304,15 @@ def geo_transform(df: DataFrame, geo: str = "point", crs: str = "wgs84") -> Data
         substitute = count_substitution_rows(df) > 1
         geo_b, crs_b = geo, crs
 
+        # footprint + (optional) bbox fused into ONE Arrow stage: the
+        # same composition, but chained pandas UDFs each get their own
+        # PythonRunner + an extra WKT serialize/parse round-trip
         @pandas_udf(T.StringType())
         def fp_udf(fp: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-            return _footprint_batch(fp, lon, lat, substitute, geo_b, crs_b)
+            w = _footprint_batch(fp, lon, lat, substitute, geo_b, crs_b)
+            return _bbox_batch(w, crs_b) if geo_b == "bbox" else w
 
         df = df.withColumn("geo_wkt", fp_udf(F.col("footprint"), F.col("lon"), F.col("lat")))
-        if geo == "bbox":
-
-            @pandas_udf(T.StringType())
-            def bbox_udf(w: pd.Series) -> pd.Series:
-                return _bbox_batch(w, crs_b)
-
-            df = df.withColumn("geo_wkt", bbox_udf(F.col("geo_wkt")))
     gtype = F.regexp_extract(F.col("geo_wkt"), "^([A-Z]+)", 1)
     df = df.withColumn("geom_type", gtype)
     # reference drops the consumed spatial input columns (:210,232,291)
