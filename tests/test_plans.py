@@ -125,3 +125,13 @@ def test_knn_single_materialization(spark, pts, pages_dir):
     assert out.count() == 15
     after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert after <= before, "knn_join must unpersist every cache it created"
+
+
+def test_bbox_pipeline_single_udf_stage(spark, pages_dir):
+    """bbox mode must run ONE ArrowEvalPython stage (fused footprint +
+    bbox kernels), not a chain of two Python runners."""
+    from fgcspark.pipeline import geo_pipeline
+
+    df = geo_pipeline(spark, pages_dir, geo="bbox", crs="wgs84").select("url", "geo_wkt")
+    plan = plan_of(df)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
