@@ -192,16 +192,31 @@ def centroid(g: Geom):
         if ext_a2 < 0:
             sign = -1.0
         a2s, cxs, cys = 0.0, 0.0, 0.0
+        span = 0.0
         for ring in rings:
             a2, cx, cy = _ring_area2_cx_cy(ring, base)
             a2s += sign * a2
             cxs += sign * cx
             cys += sign * cy
-        if a2s == 0.0:
+            span = max(
+                span,
+                float(ring[:, 0].max() - ring[:, 0].min()),
+                float(ring[:, 1].max() - ring[:, 1].min()),
+            )
+        # Degenerate-part guard is RELATIVE to the part's own extent: a
+        # denormal-but-nonzero a2s (e.g. ~1e-317 from a sliver with a
+        # 5e-309 edge) must not carry area weight — the old absolute
+        # `a2s == 0.0` check let it through and the subsequent product
+        # underflowed, yielding a centroid at (0,0) outside the part's
+        # own bbox (hypothesis falsifier, pinned in test_kernels).
+        if a2s == 0.0 or abs(a2s) < 1e-14 * span * span:
             continue  # degenerate part: no area weight
         wsum += a2s
-        xsum += (base[0] + cxs / (3.0 * a2s)) * a2s
-        ysum += (base[1] + cys / (3.0 * a2s)) * a2s
+        # `base*a2s + cxs/3` is algebraically identical to
+        # `(base + cxs/(3*a2s))*a2s` but never forms the ill-conditioned
+        # huge/tiny quotient-then-product that underflows for tiny a2s.
+        xsum += base[0] * a2s + cxs / 3.0
+        ysum += base[1] * a2s + cys / 3.0
     if wsum == 0.0:
         allc = np.concatenate([r for r in _rings_of(g) if r.size])
         return float(allc[:, 0].mean()), float(allc[:, 1].mean())

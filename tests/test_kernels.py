@@ -128,6 +128,22 @@ def test_centroid_gc_highest_dim_wins():
     assert K.centroid(g) == pytest.approx((1.0, 1.0))
 
 
+def test_centroid_denormal_area_sliver_stays_in_bbox():
+    # Round-2 hypothesis falsifier: this sliver's doubled signed area is
+    # a *denormal* nonzero (~1e-317), so an absolute ==0 degeneracy check
+    # let it carry weight and the old (base + cxs/(3*a2s))*a2s product
+    # underflowed to 0, returning centroid (0, 0) — far outside the
+    # polygon's own bbox. The relative-area guard must classify it
+    # degenerate and fall back to the vertex mean.
+    g = parse_wkt(
+        "POLYGON ((0.25 0, 0.25 5.56e-309, 0.2499999999999982 2.98e-08, 0.25 0))"
+    )
+    cx, cy = K.centroid(g)
+    xmin, ymin, xmax, ymax = K.bbox(g)
+    assert xmin <= cx <= xmax
+    assert ymin <= cy <= ymax
+
+
 def test_centroid_empty_is_none():
     assert K.centroid(parse_wkt("POINT EMPTY")) is None
     assert K.centroid(parse_wkt("POLYGON EMPTY")) is None

@@ -115,7 +115,7 @@ def test_bbox_contains_all_vertices(g):
         assert (r[:, 1] >= ymin - 1e-9).all() and (r[:, 1] <= ymax + 1e-9).all()
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=1000, deadline=None)
 @given(geoms())
 def test_centroid_inside_bbox(g):
     c = K.centroid(g)
