@@ -183,11 +183,34 @@ def translate_columns(cols: list[str], dwc: bool = True) -> list[str]:
 
 
 def _read_tsv(spark: SparkSession, path: str) -> DataFrame:
-    # laji.fi TSVs are unquoted tab-separated;  disables quoting
+    # citable-archive member TSVs are unquoted tab-separated (verified
+    # on the reference fixtures: zero structural quotes, zero column-
+    # count mismatches with quoting off); "" disables quoting
     return (
         spark.read.option("sep", "\t")
         .option("header", "true")
         .option("quote", "")
+        .csv(path)
+    )
+
+
+def _read_lite_tsv_file(spark: SparkSession, path: str) -> DataFrame:
+    """Lite-download TSVs are NOT the citable member shape: free-text
+    fields are double-quoted and may embed literal newlines
+    (laji-data.tsv carries 32 multi-line records), and trailing empty
+    fields are dropped on some rows (laji-data2.tsv: 55/54-field rows
+    under a 59-column header). The reference loads these through R
+    read.delim defaults (quote='\"', fill=TRUE), so the engine mirrors
+    that: quote-aware multiLine parse, short rows null-padded by
+    PERMISSIVE mode. multiLine makes one file one split — fine here:
+    lite files are single user downloads; the citable/distributed path
+    is the scale path."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
         .csv(path)
     )
 
@@ -262,7 +285,7 @@ def read_lite_tsv(
     Darwin Core renames as for the citable shape; extra columns pass
     through name-sanitised, so both column counts load unchanged."""
     deselect = DESELECT if deselect is None else deselect
-    rows = _read_tsv(spark, tsv_path)
+    rows = _read_lite_tsv_file(spark, tsv_path)
     short = [LITE_VARS.get(c, c) for c in rows.columns]
     rows = rows.toDF(*sanitise_nms(short))
     rows = rows.select(*[c for c in rows.columns if c not in deselect])
