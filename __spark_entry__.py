@@ -319,7 +319,19 @@ def _q_occ_archive_load(spark, sf_dir):
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Parquet scans split at row-group boundaries, and the small-SF
+    # test files were written as 1-3 row groups — so no
+    # maxPartitionBytes setting can feed more than 3 of the 32 local
+    # cores. Fan the scan out once up front when the source is
+    # under-split relative to the session (local-bench ergonomics; on
+    # a cluster a 100 TB table has orders more row groups than cores
+    # and this branch never fires). An explicit repartition(N) is
+    # honoured by AQE (user-specified), so it won't be coalesced away.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _q_facts_pivot(spark, sf_dir):
@@ -879,12 +891,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b USING (band, bkey)
             WHERE a.doc_id < b.doc_id
+        ), hdist AS (
+            -- mirror of the engine's hashed-shingle verify payload:
+            -- intersection/sizes over DISTINCT 56-bit shingle hashes
+            SELECT DISTINCT doc_id, h FROM hashed
+        ), hsz AS (
+            SELECT doc_id, count(*) AS n_sh FROM hdist GROUP BY 1
+        ), hpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+            FROM hdist a JOIN hdist b USING (h)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
         )
         SELECT id_a, id_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b
         FROM cand
-        JOIN pairs USING (id_a, id_b)
-        JOIN sz sa ON sa.doc_id = id_a
-        JOIN sz sb ON sb.doc_id = id_b
+        JOIN hpairs USING (id_a, id_b)
+        JOIN hsz sa ON sa.doc_id = id_a
+        JOIN hsz sb ON sb.doc_id = id_b
         WHERE 100 * common >= 6 * (sa.n_sh + sb.n_sh - common)
         """
     )
