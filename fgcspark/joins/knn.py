@@ -19,7 +19,9 @@ Physical shape (reworked per round-1 verdict #7):
   against each batch's candidates; the driver collects only ONE row
   per active probe per iteration (probe_id, n_found, kth_dist) to
   decide certification — never the candidate rows themselves;
-- the result is the state DataFrame itself (stays distributed).
+- the result is the state DataFrame, localCheckpoint-materialized on
+  the executors so the per-round caches can be released — it stays
+  distributed; result rows never pass through the driver.
 """
 
 from __future__ import annotations
@@ -33,6 +35,10 @@ from pyspark.storagelevel import StorageLevel
 from fgcspark.crs import tm35fin as tm
 
 DEFAULT_CELL_KM = 50
+# the probe set is driver-resident by contract (collected + broadcast
+# per ring batch); cap it explicitly so a misuse fails loudly instead
+# of OOMing the driver
+_MAX_PROBES = 100_000
 
 
 def _ring_cells(cn: int, ce: int, r_lo: int, r_hi: int) -> list[tuple[int, int]]:
@@ -63,9 +69,18 @@ def knn_join(
     """Exact kNN: (probe_id, url, dist) — k rows per probe.
 
     `points` needs `e`/`n` (EPSG:3067); `probes` needs
-    (probe_id, lon, lat)."""
+    (probe_id, lon, lat).
+
+    Precondition: the probe set is SMALL (driver-resident — it is
+    collected up front and each ring batch is broadcast). The page
+    side is unbounded; the probe side is not."""
     s = float(cell_km * 1000)
-    prows = probes.select("probe_id", "lon", "lat").collect()
+    prows = probes.select("probe_id", "lon", "lat").limit(_MAX_PROBES + 1).collect()
+    assert len(prows) <= _MAX_PROBES, (
+        f"knn_join holds probes on the driver; got >{_MAX_PROBES} rows — "
+        "for probe sets that scale with the data use a cell-cogroup "
+        "join (see joins/pip.py pip_join_partitioned) instead"
+    )
     pid = np.array([r["probe_id"] for r in prows], dtype=np.int64)
     pe, pn = tm.geodetic_to_tm35(
         np.array([r["lon"] for r in prows]), np.array([r["lat"] for r in prows])
@@ -132,10 +147,10 @@ def knn_join(
             r_lo, r_hi = r_hi + 1, r_hi * 2
         if active.any():  # pragma: no cover - max_rings exhausted
             raise RuntimeError("kNN ring expansion did not certify all probes")
-        # materialize the final top-k off the cached state, then release
-        out = spark.createDataFrame(
-            state.collect(), schema=f"probe_id long, {key_col} string, dist double"
-        )
+        # materialize the final top-k ON THE EXECUTORS and truncate the
+        # iterative lineage so the per-round caches can be released; no
+        # result row ever round-trips through the driver
+        out = state.select("probe_id", key_col, "dist").localCheckpoint(eager=True)
     finally:
         for df in to_unpersist:
             df.unpersist()
