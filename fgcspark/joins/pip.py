@@ -283,12 +283,42 @@ def polygon_cover_table(
     return polygons.select("poly_id", "wkt").mapInPandas(build, out_schema)
 
 
+def hot_cell_factors(
+    spark: SparkSession,
+    pts: DataFrame,
+    max_cell_points: int,
+) -> DataFrame | None:
+    """Sub-split factors for cells holding more than max_cell_points
+    points: (cell_n, cell_e, m) with m = ceil(n_pts / max_cell_points).
+
+    The collect is BOUNDED: only cells ABOVE the threshold come back,
+    and there are at most total_points / max_cell_points of them —
+    the same aggregate-only control-plane contract as knn_join's
+    certification collect (never point rows)."""
+    import math
+
+    hot = (
+        pts.groupBy("cell_n", "cell_e")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .where(F.col("n_pts") > max_cell_points)
+        .collect()
+    )
+    if not hot:
+        return None
+    rows = [
+        (int(r["cell_n"]), int(r["cell_e"]), int(math.ceil(r["n_pts"] / max_cell_points)))
+        for r in hot
+    ]
+    return spark.createDataFrame(rows, schema="cell_n long, cell_e long, m int")
+
+
 def pip_join_partitioned(
     spark: SparkSession,
     points: DataFrame,
     polygons: DataFrame,
     cell_km: int = DEFAULT_CELL_KM,
     key_col: str = "url",
+    max_cell_points: int = 2_000_000,
 ) -> DataFrame:
     """Exact PIP join with a DISTRIBUTED build side: same output as
     pip_join, no driver-side index, no broadcast requirement.
@@ -299,9 +329,17 @@ def pip_join_partitioned(
     candidate point row (a plain equi-join would multiply the ring
     payload by the points-per-cell factor). Inside each cell group
     one numpy pass bbox-prefilters and even-odd-refines every
-    (point, polygon) pair. Hot cells are the skew unit here; at the
-    extreme, shrink cell_km (smaller groups) or fall back to the
-    broadcast path for the hot cells only."""
+    (point, polygon) pair.
+
+    Hot cells (skew unit = one cell group = one task) are SUB-SPLIT:
+    any cell holding more than max_cell_points points is salted into
+    m = ceil(n/max_cell_points) subgroups by point-key hash, and that
+    cell's cover rows are replicated once per salt — each (point,
+    polygon) pair still meets exactly once, so the output is
+    unchanged; per-task input is bounded by ~max_cell_points no
+    matter how skewed the point layer is. The factor table is an
+    aggregate-only driver collect (cells above threshold only),
+    broadcast back — point rows never leave the executors."""
     s = cell_km * 1000
     cover = polygon_cover_table(polygons, cell_km)
     pts = points.select(
@@ -311,6 +349,31 @@ def pip_join_partitioned(
         F.floor(F.col("n") / s).cast("long").alias("cell_n"),
         F.floor(F.col("e") / s).cast("long").alias("cell_e"),
     )
+
+    group_cols = ["cell_n", "cell_e"]
+    factors = hot_cell_factors(spark, pts, max_cell_points)
+    if factors is not None:
+        pts = (
+            pts.join(F.broadcast(factors), ["cell_n", "cell_e"], "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("m").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(key_col)), F.col("m")).cast("int")
+                ),
+            )
+            .drop("m")
+        )
+        cover = (
+            cover.join(F.broadcast(factors), ["cell_n", "cell_e"], "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("m"), F.lit(1)) - 1)
+                ),
+            )
+            .drop("m")
+        )
+        group_cols = ["cell_n", "cell_e", "salt"]
 
     out_schema = T.StructType(
         [T.StructField(key_col, T.StringType()), T.StructField("poly_id", T.LongType())]
@@ -344,7 +407,7 @@ def pip_join_partitioned(
         return pd.DataFrame({key_col: out_k, "poly_id": out_p})
 
     return (
-        pts.groupBy("cell_n", "cell_e")
-        .cogroup(cover.groupBy("cell_n", "cell_e"))
+        pts.groupBy(*group_cols)
+        .cogroup(cover.groupBy(*group_cols))
         .applyInPandas(refine, out_schema)
     )

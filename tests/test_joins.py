@@ -109,3 +109,54 @@ def test_pip_partitioned_matches_broadcast_path(spark, pages_dir, points):
     b = pip_join_partitioned(spark, points, polys).toPandas()
     key = lambda d: set(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
     assert key(a) == key(b) and len(a) == len(b)
+
+
+def test_pip_partitioned_hot_cell_salting(spark, pages_dir, points):
+    """Skewed layer: every point squeezed into ONE 50 km cell (>=20%
+    of points in a single cell by construction — here 100%). With
+    max_cell_points=200 the hot cell must be sub-split so no cogroup
+    task sees more than ~200 points, and the output must stay
+    identical to the unsalted/broadcast answer."""
+    from fgcspark.joins.pip import hot_cell_factors, pip_join_partitioned
+
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    # collapse all points into the cell of the first point: keep keys
+    # and per-point identity, lose spatial spread -> maximal skew
+    first = points.limit(1).collect()[0]
+    e0, n0 = float(first["e"]), float(first["n"])
+    s = 50 * 1000
+    skew = points.select(
+        "url",
+        (F.lit(np.floor(e0 / s) * s) + F.pmod(F.xxhash64("url"), F.lit(int(s)))).alias("e"),
+        (F.lit(np.floor(n0 / s) * s) + F.pmod(F.xxhash64("url", F.lit(1)), F.lit(int(s)))).alias("n"),
+    )
+    n_total = skew.count()
+
+    # the factor table must cover the hot cell with m ~ n/200
+    pts_cells = skew.select(
+        "url", "e", "n",
+        F.floor(F.col("n") / s).cast("long").alias("cell_n"),
+        F.floor(F.col("e") / s).cast("long").alias("cell_e"),
+    )
+    factors = hot_cell_factors(spark, pts_cells, max_cell_points=200)
+    assert factors is not None
+    frows = factors.collect()
+    assert len(frows) == 1 and frows[0]["m"] == int(np.ceil(n_total / 200))
+
+    # per-task input bound: group sizes under the engine's own salt
+    # assignment never exceed ~max_cell_points (hash imbalance margin)
+    m = frows[0]["m"]
+    sizes = (
+        pts_cells.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(m)).cast("int"))
+        .groupBy("cell_n", "cell_e", "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.count(F.lit(1)).alias("groups"))
+        .collect()[0]
+    )
+    assert sizes["groups"] == m
+    assert sizes["mx"] <= 2 * 200
+
+    a = pip_join(spark, skew, polys).toPandas()
+    b = pip_join_partitioned(spark, skew, polys, max_cell_points=200).toPandas()
+    key = lambda d: set(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
+    assert key(a) == key(b) and len(a) == len(b)
