@@ -86,7 +86,14 @@ def _truncate_upper(s: str) -> str | None:
     for i in range(len(chars) - 1, -1, -1):
         o = ord(chars[i])
         if o < 0x10FFFF:
-            chars[i] = chr(o + 1)
+            nxt = o + 1
+            # incrementing into the surrogate block (U+D800-U+DFFF)
+            # would produce a lone surrogate that cannot be
+            # UTF-8-encoded when the manifest JSON is written; jump
+            # past it to U+E000, like Iceberg's UnicodeUtil
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            chars[i] = chr(nxt)
             return "".join(chars[: i + 1])
     return None
 

@@ -115,3 +115,16 @@ def test_long_string_stats_truncation_safe(spark, tmp_path):
     f2 = t2.plan_files()[0]
     assert "skey" not in f2["max"]
     assert len(t2.plan_files(pruning={"skey": (big, None)})) == 1
+
+    # a prefix ending in U+D7FF must NOT increment into the surrogate
+    # block (U+D800 is unencodable as UTF-8 and would crash the
+    # manifest JSON write) — it jumps to U+E000 and stays a bound
+    t3 = IcebergLiteTable(str(tmp_path / "surr_tbl"))
+    edge = ("k" * 63) + "퟿" + ("z" * 20)
+    df3 = spark.createDataFrame([("a",), (edge,)], "skey string").coalesce(1)
+    t3.append(df3, stat_cols=["skey"])  # must not raise UnicodeEncodeError
+    f3 = t3.plan_files()[0]
+    rec = f3["max"]["skey"]
+    assert rec >= edge and len(rec) <= 64
+    assert not any(0xD800 <= ord(c) <= 0xDFFF for c in rec)
+    assert len(t3.plan_files(pruning={"skey": (edge, edge)})) == 1
