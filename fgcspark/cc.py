@@ -5,18 +5,24 @@ must be grouped into clusters (connected components) so exactly one
 representative per cluster survives. The reference has no analogue;
 this is a graft addition alongside the dedup family in textops.
 
-Algorithm: min-label propagation expressed as DataFrame algebra —
-each node repeatedly adopts the minimum label among itself and its
-neighbors until fixpoint. Per iteration: one equi-join (labels onto
-symmetrized edges) + one groupBy(min) + one outer merge, all
-shuffle-parallel; lineage is truncated every iteration with
-localCheckpoint so the loop stays O(1) plan depth. Near-dup clusters
-have tiny diameters (chains of near-identical docs), so the loop
-converges in a handful of rounds; `max_iter` bounds the worst case
-and convergence is verified, not assumed.
+Algorithm: FRONTIER-based min-label propagation expressed as
+DataFrame algebra — only nodes whose label improved last round push
+their label to their neighbors next round (a label can only improve
+via a neighbor that itself just improved, so non-frontier nodes have
+nothing new to say). Per iteration: one equi-join (frontier onto the
+symmetrized edge table) + one groupBy(min) + one outer merge;
+lineage is truncated every iteration with localCheckpoint so the
+loop stays O(1) plan depth, and the checkpoints preserve their hash
+partitioning (edges by v, labels by u) so steady-state rounds
+shuffle only the SHRINKING frontier, not the full edge or label
+table. Near-dup clusters have tiny diameters (chains of
+near-identical docs), so the frontier collapses in a handful of
+rounds; `max_iter` bounds the worst case and convergence (empty
+frontier) is verified, not assumed.
 
-At 10^12 docs: every stage is a hash shuffle on the node id — no
-driver state beyond the one-row convergence count per iteration.
+At 10^12 docs: every stage is a hash shuffle on the node id, the
+per-round moving set is O(|frontier|), and no driver state exists
+beyond the one-row changed-count per iteration.
 """
 
 from __future__ import annotations
@@ -35,40 +41,53 @@ def connected_components(
 ) -> DataFrame:
     """(id_col, cluster_id): cluster_id = min node id reachable via
     `edges` (undirected); isolated nodes form singleton clusters."""
+    # edges hash-partitioned by the message-receiving key ONCE; the
+    # checkpoint pins that partitioning so per-round joins only
+    # shuffle the frontier side
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
+        .repartition("v")
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    # state: (u, lbl, chg) — chg marks frontier membership; round 0
+    # everyone is frontier (initial labels are "new" information)
+    state = (
+        nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("lbl"))
+        .withColumn("chg", F.lit(True))
+        .repartition("u")
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
+        frontier = state.where("chg").select(
+            F.col("u").alias("v2"), F.col("lbl")
+        )
         incoming = (
-            sym.join(labels.withColumnRenamed("u", "v2"), sym["v"] == F.col("v2"))
+            sym.join(frontier, sym["v"] == F.col("v2"))
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr"))
         )
-        new_labels = (
-            labels.join(incoming, "u", "left")
-            .select("u", F.least(F.col("lbl"), F.coalesce("nbr", "lbl")).alias("lbl"))
+        new_state = (
+            state.select("u", "lbl")
+            .join(incoming, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce("nbr", "lbl")).alias("lbl"),
+                (F.col("nbr").isNotNull() & (F.col("nbr") < F.col("lbl"))).alias("chg"),
+            )
             .localCheckpoint()
         )
-        # labels are monotone non-increasing, so the exact label sum
-        # (decimal: no int64 overflow at any scale) is a fixpoint
-        # detector — one aggregation instead of a join of old vs new
-        sig = new_labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        prev_sig = getattr(labels, "_cc_sig", None)
-        new_labels._cc_sig = sig
-        labels = new_labels
-        if prev_sig is not None and sig == prev_sig:
+        state = new_state
+        # one-row control collect: how many labels improved this round
+        n_changed = state.agg(
+            F.sum(F.col("chg").cast("long")).alias("n")
+        ).collect()[0]["n"]
+        if not n_changed:
             break
     else:  # pragma: no cover - max_iter tuned far above real diameters
         raise RuntimeError("connected_components did not converge")
-    return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("cluster_id"))
+    return state.select(F.col("u").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
 def dedup_clusters(
