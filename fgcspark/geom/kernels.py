@@ -400,6 +400,74 @@ def _dedupe_ring(r: np.ndarray) -> np.ndarray:
     return out
 
 
+def ring_self_intersects(ring: np.ndarray) -> bool:
+    """Supported-domain check for G9: True when a ring self-intersects
+    (proper segment crossing, collinear spike/overlap, or a repeated
+    non-consecutive vertex — all invalid under OGC simple-feature
+    rules and OUTSIDE make_valid_polygons' supported subset, which
+    mirrors only what the reference fixtures exercise; full repair is
+    GEOS st_make_valid territory, R/finbif_geo_convert.R:415-419).
+
+    O(n^2) exact segment predicates — a DIAGNOSTIC (tests, input
+    validation), not a hot-path kernel."""
+    r = _dedupe_ring(np.asarray(ring, dtype=float))
+    n = len(r)
+    if n < 3:
+        return False
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def on_seg(a, b, p):
+        return (
+            min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+        )
+
+    segs = [(r[i], r[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        p1, p2 = segs[i]
+        for j in range(i + 1, n):
+            p3, p4 = segs[j]
+            adjacent = (j == i + 1) or (i == 0 and j == n - 1)
+            d1 = cross(p3, p4, p1)
+            d2 = cross(p3, p4, p2)
+            d3 = cross(p1, p2, p3)
+            d4 = cross(p1, p2, p4)
+            if ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and (
+                (d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)
+            ):
+                return True  # proper crossing
+            touches = []
+            if d1 == 0 and on_seg(p3, p4, p1):
+                touches.append(tuple(p1))
+            if d2 == 0 and on_seg(p3, p4, p2):
+                touches.append(tuple(p2))
+            if d3 == 0 and on_seg(p1, p2, p3):
+                touches.append(tuple(p3))
+            if d4 == 0 and on_seg(p1, p2, p4):
+                touches.append(tuple(p4))
+            if not touches:
+                continue
+            if adjacent:
+                # adjacent segments legitimately share one endpoint;
+                # any OTHER contact is a spike or collinear overlap
+                shared = tuple(p2) if j == i + 1 else tuple(p1)
+                if any(t != shared for t in touches):
+                    return True
+            else:
+                return True  # non-adjacent contact = self-touch
+    return False
+
+
+def polygon_in_supported_domain(rings: list[np.ndarray]) -> bool:
+    """True when every ring of the polygon is free of
+    self-intersection after consecutive-duplicate cleanup — the
+    precondition under which make_valid_polygons' output is fully
+    valid (see ring_self_intersects)."""
+    return not any(ring_self_intersects(r) for r in rings)
+
+
 def make_valid_polygons(polys: list[list[np.ndarray]]):
     """G9 make-valid-lite over a MULTIPOLYGON's pieces (reference
     delegates to GEOS st_make_valid, R/finbif_geo_convert.R:415-419,469;
@@ -409,6 +477,14 @@ def make_valid_polygons(polys: list[list[np.ndarray]]):
     - zero-area ring collapse to its linework (distinct-vertex line) or
       to a point when only one distinct vertex remains
 
+    SUPPORTED-DOMAIN BOUNDARY (property-tested): rings that
+    self-intersect after duplicate cleanup (bowties, interior spikes,
+    non-consecutive repeated vertices) are NOT repaired — they pass
+    through as-is. Callers needing full OGC validity must pre-check
+    with polygon_in_supported_domain / ring_self_intersects; repairing
+    such rings (node-and-rebuild) is full GEOS st_make_valid
+    territory, intentionally out of scope per SURVEY §7.3 #1.
+
     Returns (valid_polys, lines, points)."""
     valid, lines, points = [], [], []
     for rings in polys:
@@ -416,8 +492,21 @@ def make_valid_polygons(polys: list[list[np.ndarray]]):
         for ring in rings:
             rr = _dedupe_ring(ring)
             if len(rr) >= 3:
-                a2, _, _ = _ring_area2_cx_cy(rr)
-                if a2 != 0.0:
+                # shoelace RELATIVE to the ring's own first vertex: a
+                # collinear ring far from the origin otherwise leaves
+                # round-off ~ulp(|x|*|y|) instead of exact 0, and the
+                # old absolute !=0 test kept a zero-area sliver as
+                # "valid" (hypothesis falsifier: vertical line at
+                # x=6.7e6 -> a2~1e-9). With the local base the noise
+                # scales with extent^2, so a relative guard is sound —
+                # same family as the centroid denormal fix.
+                base = (float(rr[0, 0]), float(rr[0, 1]))
+                a2, _, _ = _ring_area2_cx_cy(rr, base)
+                span = max(
+                    float(rr[:, 0].max() - rr[:, 0].min()),
+                    float(rr[:, 1].max() - rr[:, 1].min()),
+                )
+                if abs(a2) > 1e-14 * span * span:
                     closed = np.concatenate([rr, rr[:1]], axis=0)
                     kept.append(closed)
                     continue
