@@ -67,14 +67,21 @@ def cmd_convert_occ(args) -> int:
     extraction + output zip bundle (api.R:228-264)."""
     from pathlib import Path
 
+    from fgcspark.io.archive import resolve_input
     from fgcspark.packaging import extract_readme, package_outputs
-    from fgcspark.pipeline import convert_citable, write_layered
+    from fgcspark.pipeline import convert_occurrences, write_layered
     from fgcspark.sinks import write_geojson_layers, write_gpkg
 
     spark = _spark(args)
-    basename = args.basename or Path(args.input).name.removesuffix(".zip")
-    df, _readme = convert_citable(
-        spark, args.input, geo=args.geo, crs=args.crs, dwc=not args.no_dwc
+    in_path, name = resolve_input(args.input, cache_dir=args.cache_dir)
+    basename = args.basename or name
+    df, _readme, _name = convert_occurrences(
+        spark,
+        args.input,
+        geo=args.geo,
+        crs=args.crs,
+        dwc=not args.no_dwc,
+        cache_dir=args.cache_dir,
     )
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
@@ -86,7 +93,8 @@ def cmd_convert_occ(args) -> int:
     else:
         write_layered(df, str(out / "layers"))
         layers = {"parquet": str(out / "layers")}
-    extract_readme(args.input, out)
+    if in_path.endswith(".zip"):
+        extract_readme(in_path, out)
     bundle = package_outputs(out, basename, args.format)
     print(json.dumps({"layers": layers, "bundle": str(bundle)}))
     return 0
@@ -177,12 +185,23 @@ def build_parser() -> argparse.ArgumentParser:
         "convert-occ",
         help="convert a citable-download zip (the reference's native input)",
     )
-    o.add_argument("--input", required=True, help="path to HBF.<id>.zip")
+    o.add_argument(
+        "--input",
+        required=True,
+        help="citable zip path, lite TSV path, or dataset id "
+        "(645 / HBF.645 / https://tun.fi/HBF.645, resolved via --cache-dir)",
+    )
     o.add_argument("--output", required=True)
+    o.add_argument(
+        "--cache-dir",
+        default=None,
+        help="local download cache holding HBF.<id>.zip archives "
+        "(the no-network twin of finbif's cache path)",
+    )
     o.add_argument("--geo", default="point", choices=["point", "bbox", "footprint"])
     o.add_argument("--crs", default="wgs84", choices=["wgs84", "euref"])
     o.add_argument("--format", default="gpkg", choices=["parquet", "geojson", "gpkg"])
-    o.add_argument("--basename", default=None, help="defaults to the zip stem")
+    o.add_argument("--basename", default=None, help="defaults to the dataset name")
     o.add_argument("--no-dwc", action="store_true")
     o.set_defaults(fn=cmd_convert_occ)
 

@@ -161,6 +161,41 @@ _FACT_MEMBER = {
 }
 
 
+def resolve_input(x: str, cache_dir: str | None = None) -> tuple[str, str]:
+    """The reference's input routing (R/finbif_geo_convert.R:80-86 via
+    R/sanitise_id.R): an existing file path loads directly; a bare
+    integer id ('645'), an HBF id ('HBF.645'), or a tun.fi URI
+    ('https://tun.fi/HBF.645') resolves to the citable archive
+    `HBF.<id>.zip` inside `cache_dir` — the local twin of finbif's
+    download cache. The reference's OWN test run uses exactly this
+    no-network contract (inst/tinytest/test_pkg.R sets
+    finbif_cache_path='cache' and finbif_allow_query=FALSE); there is
+    no network in this engine either, so a cache miss raises the
+    reference's not-found taxonomy instead of fetching.
+
+    Returns (path, dataset_name)."""
+    from fgcspark.errors import FgcError, sanitise_id
+
+    p = Path(x)
+    if p.exists():
+        name = p.name
+        for suf in (".zip", ".tsv"):
+            name = name.removesuffix(suf)
+        return str(p), name
+    m = re.fullmatch(r"(?:https?://tun\.fi/)?(?:HBF\.)?(\d+)", x.strip())
+    if not m:
+        raise FgcError(f"File {x} not found", "fs_error")
+    name = sanitise_id(m.group(1))["name"]  # digits route -> HBF.<id>
+    if cache_dir is not None:
+        cand = Path(cache_dir) / f"{name}.zip"
+        if cand.exists():
+            return str(cand), name
+    raise FgcError(
+        f"{name} not in local cache and network loading is unavailable",
+        "fs_error",
+    )
+
+
 def route_members(names: list[str]) -> dict[str, str]:
     """Member-name routing: {role: member_name} for the recognised
     members of a citable archive. Missing roles are absent."""

@@ -346,6 +346,40 @@ def convert_citable(
     return geo_transform(df, geo, crs), readme
 
 
+def convert_occurrences(
+    spark,
+    input_: str,
+    geo: str = "point",
+    crs: str = "wgs84",
+    dwc: bool = True,
+    cache_dir: str | None = None,
+) -> tuple[DataFrame, str | None, str]:
+    """The reference's FULL input surface (finbif_geo_convert's first
+    argument, R/finbif_geo_convert.R:80-94 + R/sanitise_id.R): a
+    citable zip path, a lite-download TSV path, or a dataset id
+    (645 / HBF.645 / https://tun.fi/HBF.645) resolved against a local
+    download cache. Returns (converted rows, readme, dataset name).
+
+    Lite rows carry no centre-point coordinates; they flow through the
+    footprint-centroid fallback (G3) exactly like the reference routes
+    them (module doc in io/archive.py)."""
+    from fgcspark.io.archive import read_lite_tsv, resolve_input
+
+    path, name = resolve_input(input_, cache_dir)
+    if path.endswith(".tsv"):
+        rows = read_lite_tsv(spark, path, dwc=dwc)
+        fp_nm = "footprintWKT" if dwc else "footprint_wgs84"
+        df = (
+            rows.withColumn("lat", F.lit(None).cast("double"))
+            .withColumn("lon", F.lit(None).cast("double"))
+            .withColumn("footprint", F.col(fp_nm))
+            .drop(fp_nm)
+        )
+        return geo_transform(df, geo, crs), None, name
+    df, readme = convert_citable(spark, path, geo=geo, crs=crs, dwc=dwc)
+    return df, readme, name
+
+
 def write_layered(df: DataFrame, out_path: str) -> None:
     """S4 sink: one partition dir per geometry type (the Spark twin of
     layer-per-type GeoPackage, reference R/finbif_geo_convert.R:586-630)."""

@@ -146,3 +146,54 @@ def test_lite_tsv_real_files(spark):
         "LINESTRING": 100,
         "GEOMETRYCOLLECTION": 25,
     }
+
+
+def test_resolve_input_id_routes(spark, tmp_path):
+    """The reference's id input surface (R/sanitise_id.R feeding the
+    load path): bare integer, HBF id, and tun.fi URI all resolve to
+    HBF.<id>.zip in the local cache dir; a cache miss raises the error
+    taxonomy instead of attempting a network fetch."""
+    from fgcspark.errors import FgcError, read_error_msg
+    from fgcspark.io.archive import resolve_input
+
+    for ident in ("53254", "HBF.53254", "https://tun.fi/HBF.53254"):
+        path, name = resolve_input(ident, cache_dir=str(FIX))
+        assert path == str(FIX / "HBF.53254.zip")
+        assert name == "HBF.53254"
+    # direct paths pass through, zip or tsv
+    p, n = resolve_input(str(FIX / "laji-data.tsv"))
+    assert p.endswith("laji-data.tsv") and n == "laji-data"
+    with pytest.raises(FgcError) as ei:
+        resolve_input("99999", cache_dir=str(FIX))
+    assert read_error_msg(str(ei.value))["err_name"] == "fs_error"
+    with pytest.raises(FgcError):
+        resolve_input("no/such/file.zip")
+
+
+def test_convert_occurrences_lite_tsv_centroid_fallback(spark):
+    """finbif_geo_convert('laji-data.tsv') twin: lite rows have no
+    centre point, so every point comes from the footprint centroid
+    (G3); no row may end up EMPTY because every lite fixture row
+    carries a parseable footprint."""
+    from pyspark.sql import functions as F
+
+    from fgcspark.pipeline import convert_occurrences
+
+    df, readme, name = convert_occurrences(
+        spark, str(FIX / "laji-data.tsv"), geo="point", crs="wgs84"
+    )
+    assert readme is None and name == "laji-data"
+    assert df.filter(F.col("geo_wkt") == "POINT EMPTY").count() == 0
+    assert df.count() == 902
+    got = {r["geom_type"] for r in df.select("geom_type").distinct().collect()}
+    assert got == {"POINT"}
+
+
+def test_convert_occurrences_by_id_from_cache(spark):
+    from fgcspark.pipeline import convert_occurrences
+
+    df, readme, name = convert_occurrences(
+        spark, "HBF.53254", geo="point", cache_dir=str(FIX)
+    )
+    assert name == "HBF.53254" and readme and "HBF.53254" in readme
+    assert df.count() == 9707
