@@ -78,7 +78,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        state = new_state
+        # the new checkpoint is eager, so last round's state blocks can
+        # be released NOW — without this every round leaks a full label
+        # table into the block manager (at 10^12 nodes that is the job)
+        prev, state = state, new_state
+        prev.unpersist()
         # one-row control collect: how many labels improved this round
         n_changed = state.agg(
             F.sum(F.col("chg").cast("long")).alias("n")
@@ -87,6 +91,9 @@ def connected_components(
             break
     else:  # pragma: no cover - max_iter tuned far above real diameters
         raise RuntimeError("connected_components did not converge")
+    sym.unpersist()
+    # the returned state stays checkpoint-materialized (the caller's
+    # result); everything else this function cached is released
     return state.select(F.col("u").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
