@@ -147,7 +147,15 @@ def cmd_knn(args) -> int:
 
 
 def cmd_status(args) -> int:
-    """Reference /status/{id} twin (api.R:288-386) over the manifest."""
+    """Reference /status/{id} twin (api.R:288-386): with --dir, the
+    full HTTP response envelope (404/400/303/200-pending + timeout
+    clamp) over a conversion work dir — no Spark session needed; with
+    --output, chunk-manifest progress + lineage."""
+    if args.dir:
+        from fgcspark.packaging import poll_status
+
+        print(json.dumps(poll_status(args.dir, timeout=args.timeout)))
+        return 0
     from fgcspark.checkpoint import ChunkedRunner
 
     spark = _spark(args)
@@ -225,8 +233,16 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("-k", type=int, default=5)
     k.set_defaults(fn=cmd_knn)
 
-    s = sub.add_parser("status", help="chunked-run progress + lineage")
-    s.add_argument("--output", required=True)
+    s = sub.add_parser(
+        "status", help="conversion status envelope / chunked-run progress"
+    )
+    s.add_argument("--output", default=None, help="chunk-manifest dir (Spark mode)")
+    s.add_argument(
+        "--dir", default=None, help="conversion work dir (HTTP-envelope mode)"
+    )
+    s.add_argument(
+        "--timeout", type=float, default=30.0, help="poll timeout s (clamped to 60)"
+    )
     s.add_argument("--chunks", type=int, default=16)
     s.set_defaults(fn=cmd_status)
     return p
