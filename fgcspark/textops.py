@@ -281,13 +281,17 @@ def simhash_pairs(
         F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
         F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
     ]
-    bands = [
-        sh.select(id_col, "sim_lo", "sim_hi", F.lit(b).alias("band"), k.alias("bkey"))
-        for b, k in enumerate(band_keys)
-    ]
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionAll(x)
+    # ONE posexplode instead of a 4-way unionAll: the union re-derived
+    # the whole signature aggregate (explode + groupBy) once per band
+    # branch — 4 redundant shuffles of the token table unless exchange
+    # reuse happened to fire; the array explode keeps a single
+    # signature computation feeding all four band rows
+    banded = sh.select(
+        F.col(id_col),
+        F.col("sim_lo"),
+        F.col("sim_hi"),
+        F.posexplode(F.array(*band_keys)).alias("band", "bkey"),
+    )
     a = banded.alias("a")
     b2 = banded.alias("b")
     cand = (
