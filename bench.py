@@ -117,8 +117,12 @@ def main() -> None:
                 _force(qs[name](spark, SF_DIR))
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-                # fast queries don't need a noise-reduction retrial
-                if dt < 5.0:
+                # fast queries don't need a noise-reduction retrial;
+                # anything slower gets a second run so first-execution
+                # codegen/plan compile doesn't stick in the record
+                # (interleaved A/B in BENCH/BASELINE.md measured 4-8 s
+                # cold vs 0.2-0.7 s warm on pure-codegen queries)
+                if dt < 2.0:
                     break
             times[name] = round(best, 3)
         except Exception as ex:  # noqa: BLE001 - bench must always emit
