@@ -401,12 +401,13 @@ def _dedupe_ring(r: np.ndarray) -> np.ndarray:
 
 
 def ring_self_intersects(ring: np.ndarray) -> bool:
-    """Supported-domain check for G9: True when a ring self-intersects
+    """Validity check for G9: True when a ring self-intersects
     (proper segment crossing, collinear spike/overlap, or a repeated
     non-consecutive vertex — all invalid under OGC simple-feature
-    rules and OUTSIDE make_valid_polygons' supported subset, which
-    mirrors only what the reference fixtures exercise; full repair is
-    GEOS st_make_valid territory, R/finbif_geo_convert.R:415-419).
+    rules). Since round 3 this gates the REPAIR path: rings flagged
+    here are routed through the exact node-and-rebuild in
+    fgcspark.geom.makevalid (GEOS st_make_valid semantics,
+    R/finbif_geo_convert.R:415-419) instead of passing through.
 
     O(n^2) exact segment predicates — a DIAGNOSTIC (tests, input
     validation), not a hot-path kernel."""
@@ -462,32 +463,47 @@ def ring_self_intersects(ring: np.ndarray) -> bool:
 
 def polygon_in_supported_domain(rings: list[np.ndarray]) -> bool:
     """True when every ring of the polygon is free of
-    self-intersection after consecutive-duplicate cleanup — the
-    precondition under which make_valid_polygons' output is fully
-    valid (see ring_self_intersects)."""
+    self-intersection after consecutive-duplicate cleanup — the domain
+    of make_valid_polygons' FAST path; outside it the repair path
+    (fgcspark.geom.makevalid) takes over (see ring_self_intersects).
+    Kept as the public diagnostic; makevalid.polygon_needs_rebuild is
+    the stricter routing check (also catches cross-ring invalidity)."""
     return not any(ring_self_intersects(r) for r in rings)
 
 
 def make_valid_polygons(polys: list[list[np.ndarray]]):
-    """G9 make-valid-lite over a MULTIPOLYGON's pieces (reference
-    delegates to GEOS st_make_valid, R/finbif_geo_convert.R:415-419,469;
-    we implement the subset the fixtures exercise — SURVEY §7.3):
+    """G9 make-valid over a MULTIPOLYGON's pieces (reference delegates
+    to GEOS st_make_valid, R/finbif_geo_convert.R:415-419,469).
+
+    Fast path (the overwhelming majority of real footprints — valid
+    polygons, possibly with duplicate vertices or zero-area rings):
 
     - consecutive-duplicate vertex drop
     - zero-area ring collapse to its linework (distinct-vertex line) or
       to a point when only one distinct vertex remains
 
-    SUPPORTED-DOMAIN BOUNDARY (property-tested): rings that
-    self-intersect after duplicate cleanup (bowties, interior spikes,
-    non-consecutive repeated vertices) are NOT repaired — they pass
-    through as-is. Callers needing full OGC validity must pre-check
-    with polygon_in_supported_domain / ring_self_intersects; repairing
-    such rings (node-and-rebuild) is full GEOS st_make_valid
-    territory, intentionally out of scope per SURVEY §7.3 #1.
+    Repair path (round 3 — closes the SURVEY §7.3 #1 scope cut): a
+    polygon whose rings self-intersect, cross each other, or whose
+    "hole" escapes its shell is routed through the exact
+    node-and-rebuild in fgcspark.geom.makevalid (GEOS linework
+    even-odd semantics: bowtie -> two lobes, doubled ring -> cancels,
+    overlapping rings -> symmetric difference; collapsed spikes are
+    dropped like keepCollapsed=False). A polygon that collapses
+    entirely under rebuild falls back to the fast path's degenerate
+    linework handling, preserving the reference-fixture outputs.
 
     Returns (valid_polys, lines, points)."""
+    from fgcspark.geom.makevalid import polygon_needs_rebuild, rebuild_polygon
+
     valid, lines, points = [], [], []
     for rings in polys:
+        deduped = [_dedupe_ring(np.asarray(r, dtype=float)) for r in rings]
+        if polygon_needs_rebuild(deduped):
+            rebuilt = rebuild_polygon(rings)
+            if rebuilt:
+                valid.extend(rebuilt)
+                continue
+            # fully collapsed: degrade through the degenerate path below
         kept = []
         for ring in rings:
             rr = _dedupe_ring(ring)

@@ -1,0 +1,476 @@
+"""G9 full make-valid: exact node-and-rebuild for invalid polygons.
+
+The reference delegates polygon repair to GEOS ``st_make_valid``
+(R/finbif_geo_convert.R:415-419,469).  Rounds 1-2 implemented only the
+fixture subset (duplicate-vertex drop + zero-area collapse,
+``kernels.make_valid_polygons``); self-intersecting rings passed through
+unrepaired.  This module closes that gap with the classic
+node-and-rebuild algorithm GEOS itself uses:
+
+1. **Node**: split every ring segment at every intersection with any
+   other segment (proper crossings, T-junctions, collinear overlaps).
+2. **Trace**: walk the half-edge cycles of the resulting planar
+   arrangement (angular-sweep next-edge rule; the region of interest is
+   always on the LEFT of a traversal).
+3. **Classify**: a cycle's adjacent region is kept iff a point just
+   inside it (exact ray-shot off an edge midpoint — robust under nested
+   disconnected components, where a naive "centroid of the cycle" lands
+   in the wrong region) is enclosed an odd number of times by the
+   ORIGINAL rings.  This is the even-odd rule — the semantics of GEOS
+   MakeValid's linework method for a single polygon: a bowtie keeps
+   both lobes, a doubly-traced region cancels, an overlapping ring pair
+   becomes their symmetric difference.
+4. **Reassemble**: half-edges whose region is kept but whose twin's is
+   not form the output boundary; trace it into CCW shells and CW holes
+   and nest holes under their innermost containing shell.
+
+Collapsed pieces (spikes, zero-area slivers of an otherwise-repairable
+polygon) are DROPPED, matching GEOS ``keepCollapsed=False``; when the
+whole polygon collapses the caller's existing degenerate-linework path
+takes over (fixture semantics, kernels.make_valid_polygons).
+
+All arithmetic is exact over ``fractions.Fraction`` — float inputs are
+exact rationals, segment intersections of rational segments are
+rational, and every orientation/containment predicate is evaluated
+without rounding.  This is deliberately a COLD-PATH kernel: it runs
+only for polygons that fail the fast validity pre-check (invalid
+footprints are a tiny minority of any real layer), so O(n^2) noding
+with Python rationals is the right trade against the robustness bugs
+approximate noding is famous for.  The hot path (valid polygons) never
+enters this module.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from functools import cmp_to_key
+
+import numpy as np
+
+Pt = tuple[Fraction, Fraction]
+
+_F0 = Fraction(0)
+_F1 = Fraction(1)
+
+
+def _to_exact(ring: np.ndarray) -> list[Pt]:
+    """Float ring -> exact rational vertex list, consecutive dups and
+    the closing vertex dropped."""
+    out: list[Pt] = []
+    for x, y in np.asarray(ring, dtype=float).reshape(-1, 2):
+        p = (Fraction(float(x)), Fraction(float(y)))
+        if not out or p != out[-1]:
+            out.append(p)
+    if len(out) > 1 and out[0] == out[-1]:
+        out.pop()
+    return out
+
+
+def _cross(o: Pt, a: Pt, b: Pt) -> Fraction:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _lerp(a: Pt, b: Pt, t: Fraction) -> Pt:
+    return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
+
+
+def _param_on(a: Pt, b: Pt, p: Pt) -> Fraction:
+    """Parameter of collinear point p on segment a->b."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    if abs(dx) >= abs(dy):
+        return (p[0] - a[0]) / dx
+    return (p[1] - a[1]) / dy
+
+
+def _split_pair(p1: Pt, p2: Pt, p3: Pt, p4: Pt) -> tuple[list[Fraction], list[Fraction]]:
+    """Exact intersection of segments p1-p2 and p3-p4.  Returns the
+    split parameters each contributes to the other (union with {0,1}
+    happens in the caller)."""
+    r = (p2[0] - p1[0], p2[1] - p1[1])
+    s = (p4[0] - p3[0], p4[1] - p3[1])
+    denom = r[0] * s[1] - r[1] * s[0]
+    qp = (p3[0] - p1[0], p3[1] - p1[1])
+    if denom != 0:
+        t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+        u = (qp[0] * r[1] - qp[1] * r[0]) / denom
+        if _F0 <= t <= _F1 and _F0 <= u <= _F1:
+            return [t], [u]
+        return [], []
+    # parallel: only collinear segments can interact
+    if qp[0] * r[1] - qp[1] * r[0] != 0:
+        return [], []
+    ts: list[Fraction] = []
+    us: list[Fraction] = []
+    for p in (p3, p4):
+        t = _param_on(p1, p2, p)
+        if _F0 <= t <= _F1:
+            ts.append(t)
+    for p in (p1, p2):
+        u = _param_on(p3, p4, p)
+        if _F0 <= u <= _F1:
+            us.append(u)
+    return ts, us
+
+
+def _node(rings: list[list[Pt]]) -> set[tuple[Pt, Pt]]:
+    """Split all ring segments at mutual intersections; return the
+    deduplicated undirected edge set of the arrangement."""
+    segs: list[tuple[Pt, Pt]] = []
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            a, b = ring[i], ring[(i + 1) % n]
+            if a != b:
+                segs.append((a, b))
+    splits: list[set[Fraction]] = [{_F0, _F1} for _ in segs]
+    for i in range(len(segs)):
+        a1, b1 = segs[i]
+        for j in range(i + 1, len(segs)):
+            a2, b2 = segs[j]
+            ts, us = _split_pair(a1, b1, a2, b2)
+            splits[i].update(ts)
+            splits[j].update(us)
+    edges: set[tuple[Pt, Pt]] = set()
+    for (a, b), ts in zip(segs, splits):
+        pts = [_lerp(a, b, t) for t in sorted(ts)]
+        for u, v in zip(pts, pts[1:]):
+            if u != v:
+                edges.add((u, v) if u < v else (v, u))
+    return edges
+
+
+def _angular_cmp(center: Pt):
+    """Exact CCW-from-positive-x ordering of neighbors around center."""
+
+    def half(p: Pt) -> int:
+        dx, dy = p[0] - center[0], p[1] - center[1]
+        return 0 if (dy > 0 or (dy == 0 and dx > 0)) else 1
+
+    def cmp(a: Pt, b: Pt) -> int:
+        ha, hb = half(a), half(b)
+        if ha != hb:
+            return -1 if ha < hb else 1
+        c = _cross(center, a, b)
+        if c > 0:
+            return -1
+        if c < 0:
+            return 1
+        return 0
+
+    return cmp_to_key(cmp)
+
+
+def _trace_cycles(edges: set[tuple[Pt, Pt]]):
+    """Partition all directed half-edges into cycles with the
+    angular-sweep rule: next(u->v) is the neighbor of v immediately
+    clockwise from u.  The region adjacent to a cycle lies on the LEFT
+    of its traversal.  Returns (cycles, cycle_of)."""
+    adj: dict[Pt, list[Pt]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    index_of: dict[Pt, dict[Pt, int]] = {}
+    for node, nbrs in adj.items():
+        nbrs.sort(key=_angular_cmp(node))
+        index_of[node] = {p: i for i, p in enumerate(nbrs)}
+
+    cycles: list[list[Pt]] = []
+    cycle_of: dict[tuple[Pt, Pt], int] = {}
+    for u0, v0 in list(edges):
+        for start in ((u0, v0), (v0, u0)):
+            if start in cycle_of:
+                continue
+            cid = len(cycles)
+            cyc: list[Pt] = []
+            u, v = start
+            while (u, v) not in cycle_of:
+                cycle_of[(u, v)] = cid
+                cyc.append(u)
+                nbrs = adj[v]
+                i = index_of[v][u]
+                u, v = v, nbrs[(i - 1) % len(nbrs)]
+            cycles.append(cyc)
+    return cycles, cycle_of
+
+
+def _left_point(u: Pt, v: Pt, edges: set[tuple[Pt, Pt]]) -> Pt:
+    """Exact point strictly inside the region on the left of directed
+    edge u->v: ray-shoot the left normal from the edge midpoint and
+    stop halfway to the nearest arrangement edge.  After noding no
+    other edge touches the open segment (u,v), so the midpoint itself
+    is on no edge but (u,v), and the half-distance point is strictly
+    interior to the adjacent face — regardless of how components nest."""
+    m = ((u[0] + v[0]) / 2, (u[1] + v[1]) / 2)
+    n = (-(v[1] - u[1]), v[0] - u[0])  # left normal, length |uv|
+    this = (u, v) if u < v else (v, u)
+    tmin: Fraction | None = None
+    for a, b in edges:
+        if (a, b) == this:
+            continue
+        ab = (b[0] - a[0], b[1] - a[1])
+        am = (a[0] - m[0], a[1] - m[1])
+        denom = n[0] * ab[1] - n[1] * ab[0]
+        if denom != 0:
+            t = (am[0] * ab[1] - am[1] * ab[0]) / denom
+            s = (am[0] * n[1] - am[1] * n[0]) / denom
+            if t > 0 and _F0 <= s <= _F1 and (tmin is None or t < tmin):
+                tmin = t
+        else:
+            # parallel; collinear with the ray?
+            if am[0] * n[1] - am[1] * n[0] == 0:
+                nn = n[0] * n[0] + n[1] * n[1]
+                for p in (a, b):
+                    t = ((p[0] - m[0]) * n[0] + (p[1] - m[1]) * n[1]) / nn
+                    if t > 0 and (tmin is None or t < tmin):
+                        tmin = t
+    t = tmin / 2 if tmin is not None else _F1
+    return (m[0] + t * n[0], m[1] + t * n[1])
+
+
+def _area2(cycle: list[Pt]) -> Fraction:
+    s = _F0
+    n = len(cycle)
+    for i in range(n):
+        x1, y1 = cycle[i]
+        x2, y2 = cycle[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _parity(pt: Pt, rings: list[list[Pt]]) -> int:
+    """Exact even-odd crossing parity of pt against a set of rings."""
+    px, py = pt
+    cnt = 0
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                xi = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                if xi > px:
+                    cnt ^= 1
+    return cnt
+
+
+def _in_ring(pt: Pt, ring: list[Pt]) -> bool:
+    return _parity(pt, [ring]) == 1
+
+
+def _split_simple(walk: list[Pt]) -> list[list[Pt]]:
+    """Split a closed (possibly self-touching) vertex walk into simple
+    rings: every time a node is revisited, the loop between the two
+    visits pops off as its own ring.  With the kept-region-on-the-left
+    convention, a popped notch loop comes out CW (a hole touching its
+    shell at the revisit point — OGC-valid), the remainder CCW."""
+    out: list[list[Pt]] = []
+    stack: list[Pt] = []
+    pos: dict[Pt, int] = {}
+    for p in walk:
+        if p in pos:
+            i = pos[p]
+            loop = stack[i:]
+            if len(loop) >= 3:
+                out.append(loop)
+            for q in stack[i + 1 :]:
+                del pos[q]
+            del stack[i + 1 :]
+        else:
+            pos[p] = len(stack)
+            stack.append(p)
+    if len(stack) >= 3:
+        out.append(stack)
+    return out
+
+
+def _trace_boundary(directed: set[tuple[Pt, Pt]]) -> list[list[Pt]]:
+    """Trace the directed boundary edges of the kept region into closed
+    walks (kept area on the LEFT throughout), then split each walk into
+    simple rings — shells CCW, holes CW.  At degree>2 nodes (regions
+    touching at a point) the angular rule keeps separate faces'
+    boundaries separate; a single face whose boundary touches itself
+    (point-touching notch) yields a self-touching walk, which
+    _split_simple decomposes."""
+    adj: dict[Pt, list[Pt]] = {}
+    nbr_all: dict[Pt, set[Pt]] = {}
+    for u, v in directed:
+        adj.setdefault(u, []).append(v)
+        nbr_all.setdefault(u, set()).add(v)
+        nbr_all.setdefault(v, set()).add(u)
+    rings: list[list[Pt]] = []
+    remaining = set(directed)
+    while remaining:
+        start = next(iter(remaining))
+        cycle: list[Pt] = []
+        u, v = start
+        while (u, v) in remaining:
+            remaining.discard((u, v))
+            cycle.append(u)
+            key = _angular_cmp(v)
+            allpts = sorted(nbr_all[v], key=key)
+            bi = allpts.index(u)
+            m = len(allpts)
+            nxt = None
+            for step in range(1, m + 1):
+                cand = allpts[(bi - step) % m]
+                if (v, cand) in remaining or (v, cand) == start:
+                    nxt = cand
+                    break
+            if nxt is None:  # pragma: no cover - boundary degrees are balanced
+                break
+            u, v = v, nxt
+        rings.extend(_split_simple(cycle))
+    return rings
+
+
+def _on_segment(p: Pt, a: Pt, b: Pt) -> bool:
+    """Exact: p lies on closed segment a-b."""
+    if _cross(a, b, p) != 0:
+        return False
+    return (
+        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+    )
+
+
+def _on_ring_boundary(p: Pt, ring: list[Pt]) -> bool:
+    n = len(ring)
+    return any(_on_segment(p, ring[i], ring[(i + 1) % n]) for i in range(n))
+
+
+def _rings_interact(r1: list[Pt], r2: list[Pt]) -> bool:
+    """True when two rings' boundaries intersect beyond isolated point
+    touches: a proper segment crossing, or a collinear overlap of
+    positive length. Touching at vertices / at points is VALID for a
+    shell-hole pair (OGC) and does not trigger a rebuild."""
+    n1, n2 = len(r1), len(r2)
+    for i in range(n1):
+        p1, p2 = r1[i], r1[(i + 1) % n1]
+        for j in range(n2):
+            p3, p4 = r2[j], r2[(j + 1) % n2]
+            d1 = _cross(p3, p4, p1)
+            d2 = _cross(p3, p4, p2)
+            d3 = _cross(p1, p2, p3)
+            d4 = _cross(p1, p2, p4)
+            if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and (
+                (d3 > 0) != (d4 > 0)
+            ) and d3 != 0 and d4 != 0:
+                return True  # proper crossing
+            if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
+                # collinear: positive-length overlap?
+                lo1, hi1 = sorted((p1, p2))
+                lo2, hi2 = sorted((p3, p4))
+                if max(lo1, lo2) < min(hi1, hi2):
+                    return True
+    return False
+
+
+def polygon_needs_rebuild(rings_f: list[np.ndarray]) -> bool:
+    """Validity pre-check gating the exact repair: True when any ring
+    self-intersects, two rings cross or overlap, a hole escapes the
+    shell, or a hole nests inside another hole. Valid polygons (the
+    hot path) return False without entering the rational machinery
+    beyond ring conversion."""
+    from fgcspark.geom.kernels import ring_self_intersects
+
+    rs = [r for r in rings_f if len(r) >= 3]
+    if any(ring_self_intersects(r) for r in rs):
+        return True
+    if len(rs) < 2:
+        return False
+    ex = [_to_exact(r) for r in rs]
+    for i in range(len(ex)):
+        for j in range(i + 1, len(ex)):
+            if _rings_interact(ex[i], ex[j]):
+                return True
+    # containment structure: every hole strictly inside the shell and
+    # not inside any other hole (anchored at a vertex that is on no
+    # other ring's boundary — touching vertices are skipped)
+    shell = ex[0]
+    for i in range(1, len(ex)):
+        anchor = None
+        others = [ex[j] for j in range(len(ex)) if j != i]
+        for v in ex[i]:
+            if not any(_on_ring_boundary(v, o) for o in others):
+                anchor = v
+                break
+        if anchor is None:
+            continue
+        if _parity(anchor, [shell]) == 0:
+            return True
+        for j in range(1, len(ex)):
+            if j != i and _parity(anchor, [ex[j]]) == 1:
+                return True
+    return False
+
+
+def rebuild_exact(rings_f: list[np.ndarray]) -> list[list[list[Pt]]]:
+    """Node-and-rebuild one polygon's rings (exact).  Returns a list of
+    polygons, each ``[shell, hole, hole, ...]`` as open rational vertex
+    cycles (shell CCW, holes CW).  Empty when the input collapses."""
+    rings = [r for r in (_to_exact(r) for r in rings_f) if len(r) >= 3]
+    if not rings:
+        return []
+    edges = _node(rings)
+    if not edges:
+        return []
+    cycles, cycle_of = _trace_cycles(edges)
+    kept: list[bool] = []
+    for cyc in cycles:
+        # classify the region left of this cycle by one adjacent point;
+        # degenerate 2-edge cycles (dangling spike edges) have both
+        # half-edges in the SAME cycle, so they can never be boundary
+        # regardless of this classification
+        u, v = cyc[0], cyc[1 % len(cyc)]
+        if u == v:
+            kept.append(False)
+            continue
+        kept.append(_parity(_left_point(u, v, edges), rings) == 1)
+    if not any(kept):
+        return []
+    boundary = {
+        (u, v)
+        for (u, v), cid in cycle_of.items()
+        if kept[cid] and not kept[cycle_of[(v, u)]]
+    }
+    if not boundary:
+        return []
+    out_rings = _trace_boundary(boundary)
+    shells: list[tuple[list[Pt], Pt]] = []
+    holes: list[tuple[list[Pt], Pt]] = []
+    for cyc in out_rings:
+        if len(cyc) < 3:
+            continue
+        a2 = _area2(cyc)
+        if a2 == 0:
+            continue
+        anchor = _left_point(cyc[0], cyc[1], edges)
+        if a2 > 0:
+            shells.append((cyc, anchor))
+        else:
+            holes.append((cyc, anchor))
+    polys: list[list[list[Pt]]] = [[s] for s, _ in shells]
+    for hole, anchor in holes:
+        containing = [i for i, (s, _) in enumerate(shells) if _in_ring(anchor, s)]
+        if not containing:  # pragma: no cover - hole implies a shell
+            continue
+        inner = containing[0]
+        for i in containing[1:]:
+            if _in_ring(shells[i][1], shells[inner][0]):
+                inner = i
+        polys[inner].append(hole)
+    return polys
+
+
+def rebuild_polygon(rings_f: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Float facade over rebuild_exact: returns repaired polygons as
+    closed float rings (shell first, CCW; holes CW), empty list when
+    the polygon collapses entirely."""
+    out: list[list[np.ndarray]] = []
+    for poly in rebuild_exact(rings_f):
+        rings = []
+        for cyc in poly:
+            arr = np.array([[float(x), float(y)] for x, y in cyc], dtype=float)
+            rings.append(np.concatenate([arr, arr[:1]], axis=0))
+        out.append(rings)
+    return out

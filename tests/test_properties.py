@@ -263,21 +263,20 @@ def test_self_intersection_checker_flags_known_invalids():
     assert not K.polygon_in_supported_domain([square, bowtie])
 
 
-def test_make_valid_documents_out_of_domain_passthrough():
-    """OUTSIDE the supported subset make_valid_polygons does NOT
-    repair: an ASYMMETRIC bowtie (nonzero shoelace area — a symmetric
-    one has exactly-cancelling lobes and correctly collapses to
-    linework) passes through unchanged — the documented boundary,
-    guarded by the checker."""
-    bowtie = np.array([[0, 0], [3, 3], [3, 0], [0, 2], [0, 0]], dtype=float)
-    assert not K.polygon_in_supported_domain([bowtie])
-    valid, lines, points = K.make_valid_polygons([[bowtie]])
-    assert lines == [] and points == []
-    assert len(valid) == 1 and len(valid[0]) == 1
-    assert np.array_equal(valid[0][0], bowtie)
-
-    # the symmetric bowtie's lobes cancel exactly -> zero area ->
-    # collapses to linework, never a "valid" polygon
-    sym = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)
-    v2, l2, p2 = K.make_valid_polygons([[sym]])
-    assert v2 == [] and len(l2) == 1
+def test_make_valid_repairs_out_of_domain_polygons():
+    """Round 3: outside the fast-path domain make_valid_polygons now
+    REPAIRS via exact node-and-rebuild (GEOS st_make_valid linework
+    semantics) instead of passing invalid rings through. A bowtie —
+    symmetric or not — becomes its two lobes; each output ring is
+    simple and nonzero-area. Deeper coverage in tests/test_makevalid.py."""
+    for bowtie in (
+        np.array([[0, 0], [3, 3], [3, 0], [0, 2], [0, 0]], dtype=float),
+        np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float),
+    ):
+        assert not K.polygon_in_supported_domain([bowtie])
+        valid, lines, points = K.make_valid_polygons([[bowtie]])
+        assert lines == [] and points == []
+        assert len(valid) == 2
+        for poly in valid:
+            assert len(poly) == 1
+            assert not K.ring_self_intersects(poly[0])
