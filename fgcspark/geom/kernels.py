@@ -409,12 +409,51 @@ def ring_self_intersects(ring: np.ndarray) -> bool:
     fgcspark.geom.makevalid (GEOS st_make_valid semantics,
     R/finbif_geo_convert.R:415-419) instead of passing through.
 
-    O(n^2) exact segment predicates — a DIAGNOSTIC (tests, input
-    validation), not a hot-path kernel."""
+    Since it now guards every make_valid call, the common all-clear
+    case is decided by a vectorized float screen (conservative
+    relative-1e-9 margins); only rings the screen cannot prove simple
+    fall through to the O(n^2) exact predicate loop below."""
     r = _dedupe_ring(np.asarray(ring, dtype=float))
     n = len(r)
     if n < 3:
         return False
+
+    # ---- vectorized screen: prove simplicity, else fall to exact ----
+    p1, p2 = r, np.roll(r, -1, axis=0)
+    scale = max(float(np.abs(r).max(initial=0.0)), 1.0)
+    eps2 = 1e-9 * scale * scale
+    epsl = 1e-9 * scale
+    d1 = (p2[:, None, 0] - p1[:, None, 0]) * (p1[None, :, 1] - p1[:, None, 1]) - (
+        p2[:, None, 1] - p1[:, None, 1]
+    ) * (p1[None, :, 0] - p1[:, None, 0])
+    d2 = (p2[:, None, 0] - p1[:, None, 0]) * (p2[None, :, 1] - p1[:, None, 1]) - (
+        p2[:, None, 1] - p1[:, None, 1]
+    ) * (p2[None, :, 0] - p1[:, None, 0])
+    sep_line = (np.minimum(np.abs(d1), np.abs(d2)) > eps2) & ((d1 > 0) == (d2 > 0))
+    lo, hi = np.minimum(p1, p2), np.maximum(p1, p2)
+    sep_box = (
+        (hi[None, :, 0] < lo[:, None, 0] - epsl)
+        | (lo[None, :, 0] > hi[:, None, 0] + epsl)
+        | (hi[None, :, 1] < lo[:, None, 1] - epsl)
+        | (lo[None, :, 1] > hi[:, None, 1] + epsl)
+    )
+    idx = np.arange(n)
+    adjacent = (
+        (idx[:, None] == idx[None, :])
+        | ((idx[:, None] + 1) % n == idx[None, :])
+        | ((idx[None, :] + 1) % n == idx[:, None])
+    )
+    if bool((sep_line | sep_box | adjacent).all()):
+        # non-adjacent pairs all provably separated; adjacent pairs can
+        # only offend by doubling back (spike): next edge collinear
+        # with and reversing onto the previous one
+        ex, ey = p2[:, 0] - p1[:, 0], p2[:, 1] - p1[:, 1]
+        nx_, ny_ = np.roll(ex, -1), np.roll(ey, -1)
+        turn = ex * ny_ - ey * nx_
+        back = ex * nx_ + ey * ny_
+        if bool(((np.abs(turn) > eps2) | (back > eps2)).all()):
+            return False
+        # ambiguous corner (near-collinear) -> exact loop decides
 
     def cross(o, a, b):
         return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])

@@ -365,42 +365,152 @@ def _rings_interact(r1: list[Pt], r2: list[Pt]) -> bool:
     return False
 
 
+def _bcross(o: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Broadcasted 2D cross product cross(o, a, b)."""
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def _pairs_maybe_interact(a: np.ndarray, b: np.ndarray) -> bool:
+    """Vectorized float screen over all segment pairs of two open
+    rings: False only when EVERY pair is provably separated (strict
+    same-side with margin, or disjoint bboxes with margin). True means
+    "possibly interacting" — the caller confirms with exact
+    arithmetic. Conservative: margins are relative 1e-9, far above
+    float error on the predicates, so a False is safe."""
+    p1, p2 = a, np.roll(a, -1, axis=0)
+    p3, p4 = b, np.roll(b, -1, axis=0)
+    scale = max(
+        float(np.abs(a).max(initial=0.0)), float(np.abs(b).max(initial=0.0)), 1.0
+    )
+    eps2 = 1e-9 * scale * scale  # cross products scale like length^2
+    epsl = 1e-9 * scale
+    # d[j, i] = cross(p3[j], p4[j], p1[i])
+    d1 = _bcross(p3[:, None], p4[:, None], p1[None, :])
+    d2 = _bcross(p3[:, None], p4[:, None], p2[None, :])
+    d3 = _bcross(p1[None, :], p2[None, :], p3[:, None])
+    d4 = _bcross(p1[None, :], p2[None, :], p4[:, None])
+    sep_b = (np.minimum(np.abs(d1), np.abs(d2)) > eps2) & ((d1 > 0) == (d2 > 0))
+    sep_a = (np.minimum(np.abs(d3), np.abs(d4)) > eps2) & ((d3 > 0) == (d4 > 0))
+    lo1 = np.minimum(p1, p2) - epsl
+    hi1 = np.maximum(p1, p2) + epsl
+    lo2 = np.minimum(p3, p4)
+    hi2 = np.maximum(p3, p4)
+    sep_box = (
+        (hi1[None, :, 0] < lo2[:, None, 0])
+        | (lo1[None, :, 0] > hi2[:, None, 0])
+        | (hi1[None, :, 1] < lo2[:, None, 1])
+        | (lo1[None, :, 1] > hi2[:, None, 1])
+    )
+    return not bool((sep_a | sep_b | sep_box).all())
+
+
+def _point_seg_dist2(pt: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """Squared distances from one point to each segment (vectorized)."""
+    d = p2 - p1
+    ln = (d * d).sum(axis=1)
+    t = np.clip(
+        np.divide(
+            ((pt - p1) * d).sum(axis=1), ln, out=np.zeros_like(ln), where=ln > 0
+        ),
+        0.0,
+        1.0,
+    )
+    proj = p1 + t[:, None] * d
+    diff = pt - proj
+    return (diff * diff).sum(axis=1)
+
+
+def _float_parity(pt: np.ndarray, ring: np.ndarray) -> int:
+    """Even-odd parity in float — callers guarantee pt is far from
+    every edge, where float crossing counts are reliable."""
+    x, y = float(pt[0]), float(pt[1])
+    p1, p2 = ring, np.roll(ring, -1, axis=0)
+    crosses = (p1[:, 1] > y) != (p2[:, 1] > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = p1[:, 0] + (y - p1[:, 1]) * (p2[:, 0] - p1[:, 0]) / (
+            p2[:, 1] - p1[:, 1]
+        )
+    return int((crosses & (xi > x)).sum()) & 1
+
+
 def polygon_needs_rebuild(rings_f: list[np.ndarray]) -> bool:
     """Validity pre-check gating the exact repair: True when any ring
     self-intersects, two rings cross or overlap, a hole escapes the
-    shell, or a hole nests inside another hole. Valid polygons (the
-    hot path) return False without entering the rational machinery
-    beyond ring conversion."""
+    shell, or a hole nests inside another hole. HOT-PATH aware: the
+    common valid polygon is cleared by vectorized float screens with
+    conservative margins; exact rational arithmetic runs only on the
+    rare ambiguous ring pair (near-touching boundaries), so a valid
+    donut costs microseconds, not milliseconds."""
     from fgcspark.geom.kernels import ring_self_intersects
 
-    rs = [r for r in rings_f if len(r) >= 3]
+    rs = [np.asarray(r, dtype=float).reshape(-1, 2) for r in rings_f]
+    rs = [r for r in rs if len(r) >= 3]
     if any(ring_self_intersects(r) for r in rs):
         return True
     if len(rs) < 2:
         return False
-    ex = [_to_exact(r) for r in rs]
-    for i in range(len(ex)):
-        for j in range(i + 1, len(ex)):
-            if _rings_interact(ex[i], ex[j]):
+    # open the rings (drop explicit closure) for the vectorized screens
+    fa = [r[:-1] if len(r) > 1 and (r[0] == r[-1]).all() else r for r in rs]
+    ex: list[list[Pt] | None] = [None] * len(fa)
+
+    def exact(i: int) -> list[Pt]:
+        if ex[i] is None:
+            ex[i] = _to_exact(rs[i])
+        return ex[i]
+
+    for i in range(len(fa)):
+        for j in range(i + 1, len(fa)):
+            if _pairs_maybe_interact(fa[i], fa[j]) and _rings_interact(
+                exact(i), exact(j)
+            ):
                 return True
     # containment structure: every hole strictly inside the shell and
-    # not inside any other hole (anchored at a vertex that is on no
-    # other ring's boundary — touching vertices are skipped)
-    shell = ex[0]
-    for i in range(1, len(ex)):
+    # not inside any other hole. Anchor each hole at a vertex far from
+    # every other ring's boundary (float distances; touching vertices
+    # skipped) so float parity is reliable; fall back to the exact
+    # anchor search only when no clear vertex exists.
+    scale = max(max(float(np.abs(r).max(initial=0.0)) for r in fa), 1.0)
+    eps2 = (1e-9 * scale) ** 2
+    for i in range(1, len(fa)):
+        others = [fa[j] for j in range(len(fa)) if j != i]
         anchor = None
-        others = [ex[j] for j in range(len(ex)) if j != i]
-        for v in ex[i]:
-            if not any(_on_ring_boundary(v, o) for o in others):
+        for v in fa[i]:
+            if all(
+                float(_point_seg_dist2(v, o, np.roll(o, -1, axis=0)).min()) > eps2
+                for o in others
+            ):
                 anchor = v
                 break
-        if anchor is None:
-            continue
-        if _parity(anchor, [shell]) == 0:
-            return True
-        for j in range(1, len(ex)):
-            if j != i and _parity(anchor, [ex[j]]) == 1:
+        if anchor is not None:
+            if _float_parity(anchor, fa[0]) == 0:
                 return True
+            if any(
+                _float_parity(anchor, fa[j]) == 1
+                for j in range(1, len(fa))
+                if j != i
+            ):
+                return True
+            continue
+        # ambiguous: exact anchor search (rare — heavily shared boundaries)
+        exi = exact(i)
+        eothers = [exact(j) for j in range(len(fa)) if j != i]
+        e_anchor = None
+        for v in exi:
+            if not any(_on_ring_boundary(v, o) for o in eothers):
+                e_anchor = v
+                break
+        if e_anchor is None:
+            continue
+        if _parity(e_anchor, [exact(0)]) == 0:
+            return True
+        if any(
+            _parity(e_anchor, [exact(j)]) == 1
+            for j in range(1, len(fa))
+            if j != i
+        ):
+            return True
     return False
 
 
