@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""At-scale exactness validation (committed; BENCH/BASELINE.md cites it).
+
+Re-runs the engine's headline spatial results at a chosen synthetic
+scale and diffs them against independently-computed truths:
+
+  text   byte-identical extracted text per url vs the generator's
+         forward-computed truth column (input_hint invariant).
+  tiles  every tile assignment (1/10/100 km) vs the truth table's
+         cells (generator computes them from the placed coordinates,
+         before rendering html — fully independent of the engine).
+  pip    the broadcast PIP join vs a BRUTE-FORCE oracle: every
+         surviving point tested against every polygon with the
+         generator's ray-cast (synth/pages._ray_cast — a per-edge
+         Python loop, not the engine's batched crossing kernel), no
+         cell prefilter, distributed via mapInPandas.
+  knn    knn_join (certified ring expansion) vs an exact oracle:
+         per-partition distance to ALL probes with a tie-safe
+         threshold cut, then a global (dist, url) top-k window.
+
+Ring parsing/projection for the pip oracle reuses the engine's
+parse_wkt + TM35FIN forward (both have their own independent oracles:
+reference WKT goldens, mpmath exact-TM in tests/test_crs_exact_oracle)
+— the CONTAINMENT decision, the part this check certifies, is
+independent code.
+
+Usage:
+  python scripts/validate_at_scale.py                  # sf1, all checks
+  python scripts/validate_at_scale.py --scale sf16 --checks pip,knn
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import Window as W  # noqa: E402
+
+
+def check_text(spark, d: str) -> dict:
+    from fgcspark.extract import with_extracted
+    from fgcspark.pipeline import load_pages
+
+    eng = with_extracted(load_pages(spark, d)).select("url", "extracted_text")
+    truth = spark.read.parquet(f"{d}/truth.parquet").select("url", "text")
+    j = eng.join(truth, "url", "full")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            (~F.col("extracted_text").eqNullSafe(F.col("text"))).cast("long")
+        ).alias("mismatch"),
+    ).collect()[0]
+    return {"rows": agg["rows"], "mismatch": agg["mismatch"]}
+
+
+def check_tiles(spark, d: str) -> dict:
+    from fgcspark.pipeline import pages_to_points
+
+    sizes = (1, 10, 100)
+    eng = pages_to_points(spark, d).select(
+        "url", *[f"cell_{s}km" for s in sizes]
+    )
+    truth = spark.read.parquet(f"{d}/truth.parquet").select(
+        "url", *[F.col(f"cell_{s}km").alias(f"t_{s}") for s in sizes]
+    )
+    bad = F.lit(False)
+    for s in sizes:
+        bad = bad | ~F.col(f"cell_{s}km").eqNullSafe(F.col(f"t_{s}"))
+    agg = (
+        eng.join(truth, "url", "full")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(bad.cast("long")).alias("mismatch"),
+        )
+        .collect()[0]
+    )
+    return {"rows": agg["rows"], "mismatch": agg["mismatch"]}
+
+
+def check_pip(spark, d: str) -> dict:
+    from fgcspark.joins.pip import build_polygon_index, pip_join
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, d).select("url", "e", "n").where(
+        "e is not null and n is not null"
+    )
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    eng = pip_join(spark, pts, polys).select("url", "poly_id")
+
+    idx = build_polygon_index(spark, polys)  # parse+project only; no cover used
+    payload = [
+        (int(p), rs, tuple(map(float, bb)))
+        for p, rs, bb in zip(idx.poly_ids, idx.rings, idx.bboxes)
+    ]
+    bc = spark.sparkContext.broadcast(payload)
+
+    def oracle(batches):
+        from fgcspark.synth.pages import _ray_cast
+
+        for pdf in batches:
+            px = pdf["e"].to_numpy()
+            py = pdf["n"].to_numpy()
+            urls = pdf["url"].to_numpy()
+            for pid, rings, (x0, y0, x1, y1) in bc.value:
+                m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+                if not m.any():
+                    continue
+                ins = np.zeros(int(m.sum()), dtype=bool)
+                for ring in rings:
+                    ins ^= _ray_cast(px[m], py[m], ring)
+                if ins.any():
+                    yield pd.DataFrame(
+                        {"url": urls[m][ins], "poly_id": np.int64(pid)}
+                    )
+
+    gold = pts.mapInPandas(oracle, schema="url string, poly_id long")
+    j = eng.withColumn("l", F.lit(1)).join(
+        gold.withColumn("r", F.lit(1)), ["url", "poly_id"], "full"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l").isNull().cast("long")).alias("missing"),
+        F.sum(F.col("r").isNull().cast("long")).alias("extra"),
+    ).collect()[0]
+    return {
+        "rows": agg["rows"],
+        "mismatch": agg["missing"] + agg["extra"],
+        "missing": agg["missing"],
+        "extra": agg["extra"],
+    }
+
+
+def check_knn(spark, d: str, k: int = 5) -> dict:
+    from fgcspark.crs import tm35fin as tm
+    from fgcspark.joins.knn import knn_join
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, d).select("url", "e", "n").where(
+        "e is not null and n is not null"
+    )
+    probes = spark.read.parquet(f"{d}/probes.parquet")
+    eng = knn_join(spark, pts, probes, k=k).select("probe_id", "url")
+
+    prows = probes.select("probe_id", "lon", "lat").collect()
+    pid = np.array([r["probe_id"] for r in prows], dtype=np.int64)
+    pe, pn = tm.geodetic_to_tm35(
+        np.array([r["lon"] for r in prows]), np.array([r["lat"] for r in prows])
+    )
+    bc = spark.sparkContext.broadcast((pid, pe, pn))
+
+    def partial_topk(batches):
+        qid, qe, qn = bc.value
+        for pdf in batches:
+            e = pdf["e"].to_numpy()
+            n = pdf["n"].to_numpy()
+            urls = pdf["url"].to_numpy()
+            if not len(e):
+                continue
+            for j in range(len(qid)):
+                dist = np.hypot(e - qe[j], n - qn[j])
+                if len(dist) > k:
+                    thr = np.partition(dist, k - 1)[k - 1]
+                    sel = dist <= thr  # tie-safe: keeps every candidate
+                else:
+                    sel = np.ones(len(dist), dtype=bool)
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.int64(qid[j]),
+                        "url": urls[sel],
+                        "dist": dist[sel],
+                    }
+                )
+
+    cand = pts.mapInPandas(
+        partial_topk, schema="probe_id long, url string, dist double"
+    )
+    win = W.partitionBy("probe_id").orderBy("dist", "url")
+    gold = (
+        cand.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .select("probe_id", "url")
+    )
+    j = eng.withColumn("l", F.lit(1)).join(
+        gold.withColumn("r", F.lit(1)), ["probe_id", "url"], "full"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l").isNull().cast("long")).alias("missing"),
+        F.sum(F.col("r").isNull().cast("long")).alias("extra"),
+    ).collect()[0]
+    return {
+        "rows": agg["rows"],
+        "mismatch": agg["missing"] + agg["extra"],
+        "missing": agg["missing"],
+        "extra": agg["extra"],
+    }
+
+
+CHECKS = {
+    "text": check_text,
+    "tiles": check_tiles,
+    "pip": check_pip,
+    "knn": check_knn,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="sf1")
+    ap.add_argument("--checks", default=",".join(CHECKS))
+    ap.add_argument("--cores", type=int, default=32)
+    args = ap.parse_args()
+
+    from fgcspark.session import get_spark
+    from fgcspark.synth.pages import ensure
+
+    d = str(ensure(args.scale))
+    spark = get_spark("validate-at-scale", cores=args.cores)
+    failed = False
+    for name in args.checks.split(","):
+        t0 = time.time()
+        r = CHECKS[name](spark, d)
+        r.update(check=name, scale=args.scale, sec=round(time.time() - t0, 1))
+        print(json.dumps(r))
+        failed = failed or r["mismatch"] != 0
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
