@@ -130,6 +130,21 @@ def _q_pip_partitioned(spark, sf_dir):
     return pip_join_partitioned(spark, pts, polys)
 
 
+def _q_fp_join(spark, sf_dir):
+    """Footprint x layer INTERSECTS join (polygon/line/point vs layer
+    polygons) — the full-geometry extension of the PIP join; oracle is
+    the generator's forward brute-force golden (independent parametric
+    segment test + ray-cast, no cell prefilter)."""
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join
+    from fgcspark.pipeline import load_pages
+
+    d = _geo_dir(sf_dir)
+    pages = with_extracted(load_pages(spark, d))
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    return footprint_join(spark, pages, polys)
+
+
 def _q_pip_counts(spark, sf_dir):
     return (
         _q_pip(spark, sf_dir)
@@ -543,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _q_pip,
         "pip_counts": _q_pip_counts,
         "pip_join_partitioned": _q_pip_partitioned,
+        "fp_layer_join": _q_fp_join,
         "knn_k5": _q_knn,
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
@@ -644,6 +660,9 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, poly_id FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet')"
     )
     sql["pip_join_partitioned"] = sql["pip_join"]
+    sql["fp_layer_join"] = (
+        f"SELECT url, poly_id FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/fpjoin.parquet')"
+    )
     sql["pip_counts"] = (
         f"SELECT poly_id, count(*) AS n_pages FROM "
         f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet') GROUP BY 1"

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "s2_cell_counts_l10",
     "pip_join",
     "pip_counts",
+    "fp_layer_join",
     "knn_k5",
     "facts_pivot",
     "latest_event_per_user",

@@ -1,0 +1,334 @@
+"""Footprint x layer spatial join (polygon/line/point INTERSECTS).
+
+The PIP join (joins/pip.py) answers "which layer polygon contains this
+page's point". This operator answers the full-geometry question:
+"which layer polygons does this page's FOOTPRINT intersect" — the
+polygon-polygon / line-polygon / point-polygon counterpart that a GIS
+user of the reference's footprint mode (R/finbif_geo_convert.R:242-299)
+reaches for next. The reference itself only converts footprints; the
+join against a region layer is the graft's spatial-join surface
+extended from points to arbitrary geometries.
+
+Semantics (documented contract, mirrored by the generator's forward
+golden and scripts/validate_at_scale.py):
+- geometry per row: the parsed footprint WKT, with the reference's G4
+  substitution — rows whose footprint is NULL / POINT / EMPTY and that
+  carry lon/lat use the point geometry instead;
+- intersects = interiors or boundaries meet in the EPSG:3067 plane:
+  any segment pair crosses or touches, OR a footprint vertex lies
+  inside the polygon (even-odd over exterior+holes), OR a polygon
+  vertex lies inside a footprint polygon part (containment either
+  direction);
+- boundary decisions are float crossing-number / orientation tests:
+  exact-tangency inputs are measure-zero in the synthetic layers and
+  not certified (same convention as pip_join).
+
+Physical plan (Spark-first, zero probe-side shuffle):
+1. one Arrow-batched pandas UDF parses + projects each footprint ONCE
+   and emits (wkb, bbox) — WKB so downstream stages never re-parse;
+2. the probe's bbox cell cover is exploded JVM-side with
+   sequence()/explode (pure codegen — footprints are small, the cover
+   is 1-4 cells at the 50 km prefilter);
+3. broadcast hash join against the layer's (cell, poly_id) cover;
+4. one refine pandas UDF runs the exact intersects test against the
+   broadcast ring table, vectorized per polygon over its candidates;
+   duplicate (footprint, polygon) candidates from multi-cell overlap
+   are deduped WITHOUT a shuffle: a candidate is emitted only from its
+   reporting cell — the cell containing the lower-left corner of the
+   bbox intersection, which both covers are guaranteed to contain.
+
+At 100 TB the page side streams through the scan once — no shuffle, no
+distinct: the broadcast join replicates only the small cover table and
+the dedup is arithmetic inside the refine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from fgcspark.crs import tm35fin as tm
+from fgcspark.geom.wkb import from_wkb, to_wkb
+from fgcspark.geom.wkt import _KNOWN, Geom, parse_wkt
+from fgcspark.joins.pip import DEFAULT_CELL_KM, build_polygon_index, _pip_mask
+
+
+def _project_geom(g: Geom) -> Geom:
+    """Structure-preserving lon/lat -> EPSG:3067 transform."""
+
+    def go(c):
+        if c is None:
+            return None
+        if isinstance(c, Geom):
+            # unknown tags (TRIANGLE) carry POLYGON-shaped nesting and
+            # join like polygons; normalize so WKB can serialize them
+            t = c.gtype if c.gtype in _KNOWN else "POLYGON"
+            return Geom(t, go(c.coords))
+        if isinstance(c, np.ndarray):
+            if c.ndim == 1:
+                e, n = tm.geodetic_to_tm35(c[0:1], c[1:2])
+                return np.array([e[0], n[0]])
+            e, n = tm.geodetic_to_tm35(c[:, 0], c[:, 1])
+            return np.stack([e, n], axis=1)
+        return [go(x) for x in c]
+
+    return Geom(g.gtype if g.gtype in _KNOWN else "POLYGON", go(g.coords))
+
+
+def _flatten_parts(g: Geom, out: list) -> None:
+    """Decompose a Geom into primitive parts:
+    ('pt', (k,2)) | ('line', (k,2)) | ('poly', [rings]).
+    Unknown tags (TRIANGLE) carry POLYGON-shaped nesting (wkt.py)."""
+    t, c = g.gtype, g.coords
+    if c is None or (isinstance(c, (list, np.ndarray)) and len(c) == 0):
+        return
+    if t == "POINT":
+        out.append(("pt", np.asarray(c, float).reshape(1, 2)))
+    elif t == "MULTIPOINT":
+        out.append(("pt", np.asarray(c, float).reshape(-1, 2)))
+    elif t == "LINESTRING":
+        out.append(("line", np.asarray(c, float).reshape(-1, 2)))
+    elif t == "MULTILINESTRING":
+        for part in c:
+            out.append(("line", np.asarray(part, float).reshape(-1, 2)))
+    elif t == "MULTIPOLYGON":
+        for part in c:
+            out.append(("poly", [np.asarray(r, float).reshape(-1, 2) for r in part]))
+    elif t == "GEOMETRYCOLLECTION":
+        for sub in c:
+            _flatten_parts(sub, out)
+    else:  # POLYGON and unknown tags with POLYGON-shaped nesting
+        out.append(("poly", [np.asarray(r, float).reshape(-1, 2) for r in c]))
+
+
+def _ring_segs(arr: np.ndarray, closed: bool) -> np.ndarray:
+    """(k,2) vertices -> (k|k-1, 4) segments [x1 y1 x2 y2]."""
+    a = np.asarray(arr, float)
+    if closed and not (a[0] == a[-1]).all():
+        a = np.vstack([a, a[0]])
+    return np.concatenate([a[:-1], a[1:]], axis=1)
+
+
+def _segs_any_intersect(A: np.ndarray, B: np.ndarray) -> bool:
+    """True when any segment of A crosses or touches any segment of B.
+    Orientation straddle for proper crossings; a zero orientation with
+    the endpoint inside the other segment's bbox catches touches and
+    collinear overlap. All pairs at once (broadcast (n,m))."""
+    if len(A) == 0 or len(B) == 0:
+        return False
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = cross(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = cross(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+    if proper.any():
+        return True
+
+    def on(px, py, sx1, sy1, sx2, sy2, d):
+        return (
+            (d == 0)
+            & (px >= np.minimum(sx1, sx2))
+            & (px <= np.maximum(sx1, sx2))
+            & (py >= np.minimum(sy1, sy2))
+            & (py <= np.maximum(sy1, sy2))
+        )
+
+    touch = (
+        on(ax1, ay1, bx1, by1, bx2, by2, d1)
+        | on(ax2, ay2, bx1, by1, bx2, by2, d2)
+        | on(bx1, by1, ax1, ay1, ax2, ay2, d3)
+        | on(bx2, by2, ax1, ay1, ax2, ay2, d4)
+    )
+    return bool(touch.any())
+
+
+def _in_rings(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd containment of points in a ring set (exterior+holes)."""
+    ins = np.zeros(len(pts), dtype=bool)
+    for ring in rings:
+        ins ^= _pip_mask(pts[:, 0], pts[:, 1], ring)
+    return ins
+
+
+def geom_intersects_rings(parts: list, rings: list[np.ndarray]) -> bool:
+    """Exact intersects test: flattened footprint parts vs one layer
+    polygon's ring set (even-odd interiors)."""
+    poly_segs = np.concatenate([_ring_segs(r, closed=True) for r in rings])
+    poly_verts = np.concatenate([np.asarray(r, float) for r in rings])
+    for kind, arr in parts:
+        if kind == "pt":
+            if _in_rings(arr, rings).any():
+                return True
+        elif kind == "line":
+            if _segs_any_intersect(_ring_segs(arr, closed=False), poly_segs):
+                return True
+            if _in_rings(arr, rings).any():
+                return True
+        else:  # poly: arr is a ring list
+            fp_segs = np.concatenate([_ring_segs(r, closed=True) for r in arr])
+            if _segs_any_intersect(fp_segs, poly_segs):
+                return True
+            fp_verts = np.concatenate([np.asarray(r, float) for r in arr])
+            if _in_rings(fp_verts, rings).any():
+                return True
+            if _in_rings(poly_verts, arr).any():
+                return True
+    return False
+
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("wkb", T.BinaryType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+    ]
+)
+
+
+def _geom_bbox(g: Geom) -> tuple[float, float, float, float] | None:
+    parts: list = []
+    _flatten_parts(g, parts)
+    if not parts:
+        return None
+    arrs = []
+    for kind, arr in parts:
+        arrs.extend(arr if kind == "poly" else [arr])
+    allv = np.concatenate(arrs)
+    return (
+        float(allv[:, 0].min()),
+        float(allv[:, 1].min()),
+        float(allv[:, 0].max()),
+        float(allv[:, 1].max()),
+    )
+
+
+@pandas_udf(_FP_SCHEMA)
+def _fp_project_wkb(fp: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """Parse + project each row's join geometry once -> (wkb, bbox).
+    G4 substitution: NULL/POINT/EMPTY footprint + coords -> the point."""
+    n = len(fp)
+    wkbs: list = [None] * n
+    bb = np.full((n, 4), np.nan)
+    lon_v = lon.to_numpy(dtype=float, na_value=np.nan)
+    lat_v = lat.to_numpy(dtype=float, na_value=np.nan)
+    for i in range(n):
+        w = fp.iloc[i]
+        substitute = w is None or w.startswith("POINT") or "EMPTY" in w
+        if substitute and np.isfinite(lon_v[i]) and np.isfinite(lat_v[i]):
+            g = Geom("POINT", np.array([lon_v[i], lat_v[i]]))
+        elif w is None:
+            continue
+        else:
+            try:
+                g = parse_wkt(w)
+            except Exception:
+                continue
+        p = _project_geom(g)
+        box = _geom_bbox(p)
+        if box is None:
+            continue
+        wkbs[i] = to_wkb(p)
+        bb[i] = box
+    return pd.DataFrame(
+        {"wkb": wkbs, "x0": bb[:, 0], "y0": bb[:, 1], "x1": bb[:, 2], "y1": bb[:, 3]}
+    )
+
+
+def footprint_join(
+    spark: SparkSession,
+    pages: DataFrame,
+    polygons: DataFrame,
+    cell_km: int = DEFAULT_CELL_KM,
+    key_col: str = "url",
+    fp_col: str = "footprint",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(key_col, poly_id) rows where the row's footprint geometry
+    intersects the layer polygon. `pages` carries the raw footprint WKT
+    plus lon/lat doubles (fgcspark.extract.with_extracted output)."""
+    idx = build_polygon_index(spark, polygons, cell_km)
+    bc = spark.sparkContext.broadcast(
+        {int(p): (r, tuple(map(float, b))) for p, r, b in zip(idx.poly_ids, idx.rings, idx.bboxes)}
+    )
+    cover = spark.createDataFrame(
+        idx.cover(), schema="cell_n long, cell_e long, poly_id long"
+    )
+    s = cell_km * 1000
+
+    probe = (
+        pages.select(
+            key_col,
+            _fp_project_wkb(F.col(fp_col), F.col(lon_col), F.col(lat_col)).alias("_g"),
+        )
+        .select(key_col, "_g.*")
+        .where(F.col("wkb").isNotNull())
+        .withColumn(
+            "cell_n",
+            F.explode(F.sequence(F.floor(F.col("y0") / s), F.floor(F.col("y1") / s))),
+        )
+        .withColumn(
+            "cell_e",
+            F.explode(F.sequence(F.floor(F.col("x0") / s), F.floor(F.col("x1") / s))),
+        )
+        .join(F.broadcast(cover), ["cell_n", "cell_e"])
+    )
+
+    @pandas_udf(T.BooleanType())
+    def refine(
+        wkb: pd.Series,
+        x0: pd.Series,
+        y0: pd.Series,
+        pid: pd.Series,
+        cell_n: pd.Series,
+        cell_e: pd.Series,
+    ) -> pd.Series:
+        table = bc.value
+        fx0 = x0.to_numpy()
+        fy0 = y0.to_numpy()
+        pv = pid.to_numpy()
+        cn = cell_n.to_numpy()
+        ce = cell_e.to_numpy()
+        out = np.zeros(len(pv), dtype=bool)
+        cache: dict[int, list] = {}
+        for i in range(len(pv)):
+            rings, (px0, py0, _, _) = table[int(pv[i])]
+            # reporting-cell dedup: only the cell holding the bbox
+            # intersection's lower-left corner emits this pair
+            if int(np.floor(max(fy0[i], py0) / s)) != cn[i]:
+                continue
+            if int(np.floor(max(fx0[i], px0) / s)) != ce[i]:
+                continue
+            key = wkb.iloc[i]
+            parts = cache.get(key)
+            if parts is None:
+                parts = []
+                _flatten_parts(from_wkb(key), parts)
+                cache[key] = parts
+            out[i] = geom_intersects_rings(parts, rings)
+        return pd.Series(out)
+
+    return probe.filter(
+        refine(
+            F.col("wkb"),
+            F.col("x0"),
+            F.col("y0"),
+            F.col("poly_id"),
+            F.col("cell_n"),
+            F.col("cell_e"),
+        )
+    ).select(key_col, "poly_id")

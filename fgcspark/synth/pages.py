@@ -263,8 +263,62 @@ def _footprint_linestring(rng, ce, cn) -> tuple[str, np.ndarray]:
     return f"LINESTRING ({pts})", np.stack([lon, lat], axis=1)
 
 
+def _segs_cross(A: np.ndarray, B: np.ndarray) -> bool:
+    """Any segment of A meets any of B (crossing or touching), segments
+    as (m,4)=(x1,y1,x2,y2). PARAMETRIC solve (t,u in [0,1]) with a
+    collinear-overlap projection branch — deliberately an independent
+    formulation from the engine's orientation-straddle test
+    (fgcspark.joins.fpjoin._segs_any_intersect)."""
+    for x1, y1, x2, y2 in A:
+        rx, ry = x2 - x1, y2 - y1
+        sx, sy = B[:, 2] - B[:, 0], B[:, 3] - B[:, 1]
+        qpx, qpy = B[:, 0] - x1, B[:, 1] - y1
+        denom = rx * sy - ry * sx
+        t_num = qpx * sy - qpy * sx
+        u_num = qpx * ry - qpy * rx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = t_num / denom
+            u = u_num / denom
+        if ((denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)).any():
+            return True
+        col = (denom == 0) & (u_num == 0)
+        if col.any():
+            rr = rx * rx + ry * ry
+            if rr > 0:
+                t0 = (qpx[col] * rx + qpy[col] * ry) / rr
+                t1 = t0 + (sx[col] * rx + sy[col] * ry) / rr
+                lo, hi = np.minimum(t0, t1), np.maximum(t0, t1)
+                if ((hi >= 0.0) & (lo <= 1.0)).any():
+                    return True
+    return False
+
+
+def _fp_intersects(parts, rings, poly_segs, poly_verts) -> bool:
+    """Brute-force intersects: projected footprint parts vs one layer
+    polygon (rings even-odd). Truth twin of the engine's
+    geom_intersects_rings, built on the generator's own primitives."""
+    for kind, arr in parts:
+        ins = np.zeros(arr.shape[0], dtype=bool)
+        for ring in rings:
+            ins ^= _ray_cast(arr[:, 0], arr[:, 1], ring)
+        if ins.any():
+            return True
+        if kind == "pt":
+            continue
+        a = arr
+        if kind == "poly" and not (a[0] == a[-1]).all():
+            a = np.vstack([a, a[:1]])
+        segs = np.concatenate([a[:-1], a[1:]], axis=1)
+        if _segs_cross(segs, poly_segs):
+            return True
+        if kind == "poly" and _ray_cast(poly_verts[:, 0], poly_verts[:, 1], a).any():
+            return True
+    return False
+
+
 def _footprint_gc(rng, ce, cn, variant: int):
-    """Returns (wkt, coords (m,2) lon/lat, footprint-mode result type)."""
+    """Returns (wkt, coords (m,2) lon/lat, footprint-mode result type,
+    structured parts [(kind, lon/lat array)] for the fp-join golden)."""
     lon, lat = _fpt([ce], [cn])
     p = f"{_fmt(lon[0])} {_fmt(lat[0])}"
     if variant == 0:  # point + multipoint -> MULTIPOINT (uncollect case 1)
@@ -274,7 +328,7 @@ def _footprint_gc(rng, ce, cn, variant: int):
             f"MULTIPOINT (({_fmt(lon2[0])} {_fmt(lat2[0])})))"
         )
         coords = np.array([[lon[0], lat[0]], [lon2[0], lat2[0]]])
-        return wkt, coords, "MULTIPOINT"
+        return wkt, coords, "MULTIPOINT", [("pt", coords)]
     if variant == 1:  # two polygons -> MULTIPOLYGON (uncollect case 2)
         w1, c1 = _footprint_polygon(rng, ce, cn, 200.0)
         w2, c2 = _footprint_polygon(rng, ce + 500.0, cn + 300.0, 150.0)
@@ -282,6 +336,7 @@ def _footprint_gc(rng, ce, cn, variant: int):
             f"GEOMETRYCOLLECTION ({w1}, {w2})",
             np.concatenate([c1, c2]),
             "MULTIPOLYGON",
+            [("poly", c1), ("poly", c2)],
         )
     if variant == 2:  # point + linestring -> polygonize path (case 3 shape)
         # single-segment line: GEOS quadsegs=1 segment buffer is an exact
@@ -293,7 +348,7 @@ def _footprint_gc(rng, ce, cn, variant: int):
             f"LINESTRING ({p}, {_fmt(lon2[0])} {_fmt(lat2[0])}))"
         )
         coords = np.array([[lon[0], lat[0]], [lon2[0], lat2[0]]])
-        return wkt, coords, "MULTIPOLYGON"
+        return wkt, coords, "MULTIPOLYGON", [("pt", coords[:1]), ("line", coords)]
     # TRIANGLE passthrough (uncollect case 4)
     lon2, lat2 = _fpt([ce + 100.0], [cn])
     lon3, lat3 = _fpt([ce], [cn + 100.0])
@@ -302,7 +357,7 @@ def _footprint_gc(rng, ce, cn, variant: int):
         f"{_fmt(lon3[0])} {_fmt(lat3[0])}, {p})))"
     )
     coords = np.array([[lon[0], lat[0]], [lon2[0], lat2[0]], [lon3[0], lat3[0]]])
-    return wkt, coords, "GEOMETRYCOLLECTION"
+    return wkt, coords, "GEOMETRYCOLLECTION", [("poly", coords)]
 
 
 def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Path:
@@ -363,6 +418,7 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
     footprints: list[str | None] = [None] * n
     fp_coords: list = [None] * n  # (m,2) lon/lat doubles of the raw footprint
     fp_type: list = [None] * n  # footprint-mode output geometry type
+    fp_parts: list = [None] * n  # structured [(kind, lon/lat arr)] for fp-join
     centroid_lon = np.full(n, np.nan)
     centroid_lat = np.full(n, np.nan)
     lon_r, lat_r = tm.tm35_to_geodetic(e, nn)
@@ -379,12 +435,14 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
             row_rng, e[i], nn[i], float(row_rng.uniform(60, 500))
         )
         fp_type[i] = "MULTIPOLYGON"
+        fp_parts[i] = [("poly", fp_coords[i])]
     for i in np.nonzero(cats == 4)[0]:
         footprints[i], fp_coords[i] = _footprint_linestring(row_rng, e[i], nn[i])
         fp_type[i] = "MULTILINESTRING"
+        fp_parts[i] = [("line", fp_coords[i])]
     gc_rows = np.nonzero(cats == 5)[0]
     for j, i in enumerate(gc_rows):
-        footprints[i], fp_coords[i], fp_type[i] = _footprint_gc(
+        footprints[i], fp_coords[i], fp_type[i], fp_parts[i] = _footprint_gc(
             row_rng, e[i], nn[i], j % 4
         )
     for i in np.nonzero(c7)[0]:
@@ -396,6 +454,7 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
                 footprints[i] = wkt
                 fp_coords[i] = ring
                 fp_type[i] = "MULTIPOLYGON"
+                fp_parts[i] = [("poly", ring)]
                 centroid_lon[i], centroid_lat[i] = clon, clat
                 e[i], nn[i] = ce2, cn2  # effective point for tiles/pip/knn
                 break
@@ -415,6 +474,7 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
     for i in np.nonzero(np.isin(cats, (0, 1, 2, 6)))[0]:
         fp_coords[i] = np.array([[lon_eff[i], lat_eff[i]]])
         fp_type[i] = "MULTIPOINT"
+        fp_parts[i] = [("pt", fp_coords[i])]
 
     # bbox-mode truth: 5-point corner polygon over the effective
     # footprint coords (no row here carries a bare POINT footprint, so
@@ -541,6 +601,52 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
         out / "pip.parquet",
     )
 
+    # --- footprint-join golden (brute-force intersects; small scales) ----
+    # only written where the contract/pytest gate consumes it (<= sf0.1);
+    # large scales are validated by scripts/validate_at_scale.py's
+    # distributed oracle instead.
+    if n <= 100_000:
+        parts_proj: list = []
+        fp_bbox = np.empty((n, 4))
+        for i in range(n):
+            pp = []
+            for kind, arr in fp_parts[i] or ():
+                pe_, pn_ = tm.geodetic_to_tm35(arr[:, 0], arr[:, 1])
+                pp.append((kind, np.stack([pe_, pn_], axis=1)))
+            parts_proj.append(pp)
+            if pp:
+                allv = np.concatenate([a for _, a in pp])
+                fp_bbox[i] = (
+                    allv[:, 0].min(),
+                    allv[:, 1].min(),
+                    allv[:, 0].max(),
+                    allv[:, 1].max(),
+                )
+            else:  # pragma: no cover - every generated row has parts
+                fp_bbox[i] = (np.inf, np.inf, -np.inf, -np.inf)
+        fj_url, fj_pid = [], []
+        for pid, rings in enumerate(poly_rings):
+            segs = np.concatenate(
+                [np.concatenate([r, np.roll(r, -1, axis=0)], axis=1) for r in rings]
+            )
+            verts = np.vstack(rings)
+            lo = verts.min(axis=0)
+            hi = verts.max(axis=0)
+            cand = np.nonzero(
+                (fp_bbox[:, 0] <= hi[0])
+                & (fp_bbox[:, 2] >= lo[0])
+                & (fp_bbox[:, 1] <= hi[1])
+                & (fp_bbox[:, 3] >= lo[1])
+            )[0]
+            for i in cand:
+                if _fp_intersects(parts_proj[i], rings, segs, verts):
+                    fj_url.append(urls[i])
+                    fj_pid.append(pid)
+        pq.write_table(
+            pa.table({"url": fj_url, "poly_id": pa.array(fj_pid, pa.int64())}),
+            out / "fpjoin.parquet",
+        )
+
     # --- kNN golden (brute force) ----------------------------------------
     prng = np.random.default_rng([SEED, 11])
     pe = prng.uniform(E_MIN, E_MAX, N_PROBES)
@@ -577,7 +683,14 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
 
 
 def ensure(scale: str) -> Path:
-    return generate(scale)
+    out = generate(scale)
+    # datasets written before the fp-join golden existed lack
+    # fpjoin.parquet; generation is deterministic, so a forced re-run
+    # rewrites identical bytes plus the new golden (small scales only —
+    # large scales never carry it, see generate()).
+    if SCALE_ROWS[scale] <= 100_000 and not (out / "fpjoin.parquet").exists():
+        out = generate(scale, force=True)
+    return out
 
 
 if __name__ == "__main__":

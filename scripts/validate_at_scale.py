@@ -140,6 +140,99 @@ def check_pip(spark, d: str) -> dict:
     }
 
 
+def check_fp(spark, d: str) -> dict:
+    """Footprint x layer intersects join vs a distributed brute-force
+    oracle: per-row geometry (same substitution rule) tested against
+    EVERY bbox-overlapping polygon with the GENERATOR's parametric
+    segment test + per-edge-loop ray cast (synth/pages._fp_intersects)
+    — no cell cover, no reporting-cell logic, independent decision
+    code from the engine's orientation-straddle kernel."""
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import _flatten_parts, _project_geom, footprint_join
+    from fgcspark.joins.pip import build_polygon_index
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, d)).select(
+        "url", "footprint", "lon", "lat"
+    )
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    eng = footprint_join(spark, pages, polys).select("url", "poly_id")
+
+    idx = build_polygon_index(spark, polys)
+    payload = []
+    for pid, rings, bb in zip(idx.poly_ids, idx.rings, idx.bboxes):
+        segs = np.concatenate(
+            [np.concatenate([r, np.roll(r, -1, axis=0)], axis=1) for r in rings]
+        )
+        payload.append(
+            (int(pid), rings, segs, np.vstack(rings), tuple(map(float, bb)))
+        )
+    bc = spark.sparkContext.broadcast(payload)
+
+    def oracle(batches):
+        from fgcspark.geom.wkt import parse_wkt
+        from fgcspark.synth.pages import _fp_intersects
+
+        for pdf in batches:
+            for url, w, lon, lat in zip(
+                pdf["url"], pdf["footprint"], pdf["lon"], pdf["lat"]
+            ):
+                substitute = w is None or w.startswith("POINT") or "EMPTY" in w
+                if substitute and pd.notna(lon) and pd.notna(lat):
+                    from fgcspark.geom.wkt import Geom
+
+                    g = Geom("POINT", np.array([float(lon), float(lat)]))
+                elif w is None:
+                    continue
+                else:
+                    g = parse_wkt(w)
+                parts: list = []
+                _flatten_parts(_project_geom(g), parts)
+                if not parts:
+                    continue
+                # normalize poly parts: generator's twin wants the ring
+                # array, engine's carries a ring LIST
+                norm = []
+                arrs = []
+                for kind, a in parts:
+                    if kind == "poly":
+                        for ring in a:
+                            norm.append(("poly", ring))
+                            arrs.append(ring)
+                    else:
+                        norm.append((kind, a))
+                        arrs.append(a)
+                allv = np.concatenate(arrs)
+                bx0, by0 = allv[:, 0].min(), allv[:, 1].min()
+                bx1, by1 = allv[:, 0].max(), allv[:, 1].max()
+                hits = []
+                for pid, rings, segs, verts, (x0, y0, x1, y1) in bc.value:
+                    if bx1 < x0 or bx0 > x1 or by1 < y0 or by0 > y1:
+                        continue
+                    if _fp_intersects(norm, rings, segs, verts):
+                        hits.append(pid)
+                if hits:
+                    yield pd.DataFrame(
+                        {"url": url, "poly_id": np.array(hits, np.int64)}
+                    )
+
+    gold = pages.mapInPandas(oracle, schema="url string, poly_id long")
+    j = eng.withColumn("l", F.lit(1)).join(
+        gold.withColumn("r", F.lit(1)), ["url", "poly_id"], "full"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l").isNull().cast("long")).alias("missing"),
+        F.sum(F.col("r").isNull().cast("long")).alias("extra"),
+    ).collect()[0]
+    return {
+        "rows": agg["rows"],
+        "mismatch": agg["missing"] + agg["extra"],
+        "missing": agg["missing"],
+        "extra": agg["extra"],
+    }
+
+
 def check_knn(spark, d: str, k: int = 5) -> dict:
     from fgcspark.crs import tm35fin as tm
     from fgcspark.joins.knn import knn_join
@@ -210,6 +303,7 @@ CHECKS = {
     "text": check_text,
     "tiles": check_tiles,
     "pip": check_pip,
+    "fp": check_fp,
     "knn": check_knn,
 }
 

@@ -22,6 +22,6 @@ def spark():
 @pytest.fixture(scope="session")
 def pages_dir() -> str:
     """Deterministic sf0.001 pages dataset (generated once, cached)."""
-    from fgcspark.synth.pages import generate
+    from fgcspark.synth.pages import ensure
 
-    return str(generate("sf0.001"))
+    return str(ensure("sf0.001"))

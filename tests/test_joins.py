@@ -160,3 +160,99 @@ def test_pip_partitioned_hot_cell_salting(spark, pages_dir, points):
     b = pip_join_partitioned(spark, skew, polys, max_cell_points=200).toPandas()
     key = lambda d: set(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
     assert key(a) == key(b) and len(a) == len(b)
+
+
+# ---------------------------------------------------------------------------
+# footprint x layer intersects join
+# ---------------------------------------------------------------------------
+
+
+def _sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def test_geom_intersects_rings_cases():
+    from fgcspark.joins.fpjoin import geom_intersects_rings as gi
+
+    poly = [_sq(0, 0, 10, 10), _sq(4, 4, 6, 6)]  # square with a hole
+    # point inside / in hole / outside
+    assert gi([("pt", np.array([[1.0, 1.0]]))], poly)
+    assert not gi([("pt", np.array([[5.0, 5.0]]))], poly)  # hole interior
+    assert not gi([("pt", np.array([[20.0, 1.0]]))], poly)
+    # line crossing the boundary; line wholly inside; line in the hole
+    assert gi([("line", np.array([[-2.0, 5.0], [2.0, 5.0]]))], poly)
+    assert gi([("line", np.array([[1.0, 1.0], [2.0, 2.0]]))], poly)
+    assert not gi([("line", np.array([[4.5, 5.0], [5.5, 5.0]]))], poly)
+    # polygon crossing; polygon containing the layer polygon; contained
+    assert gi([("poly", [_sq(8, 8, 12, 12)])], poly)
+    assert gi([("poly", [_sq(-5, -5, 15, 15)])], poly)
+    assert gi([("poly", [_sq(1, 1, 2, 2)])], poly)
+    # polygon entirely within the hole; disjoint polygon
+    assert not gi([("poly", [_sq(4.5, 4.5, 5.5, 5.5)])], poly)
+    assert not gi([("poly", [_sq(20, 20, 30, 30)])], poly)
+    # footprint polygon that contains the hole ring but crosses nothing:
+    # its vertices are in the hole (outside), yet the ring area between
+    # hole and its own boundary... pick one overlapping the annulus
+    assert gi([("poly", [_sq(3, 3, 7, 7)])], poly)
+
+
+def test_segs_touch_is_intersecting():
+    from fgcspark.joins.fpjoin import _segs_any_intersect
+
+    A = np.array([[0.0, 0.0, 1.0, 0.0]])
+    assert _segs_any_intersect(A, np.array([[0.5, 0.0, 0.5, 1.0]]))  # T touch
+    assert _segs_any_intersect(A, np.array([[0.5, 0.0, 2.0, 0.0]]))  # collinear
+    assert not _segs_any_intersect(A, np.array([[0.0, 0.5, 1.0, 0.5]]))
+
+
+def test_fp_join_matches_golden(spark, pages_dir):
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, pages_dir))
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    got = (
+        footprint_join(spark, pages, polys)
+        .toPandas()
+        .sort_values(["url", "poly_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.read_parquet(f"{pages_dir}/fpjoin.parquet")
+        .sort_values(["url", "poly_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_fp_join_prefilter_is_lossless(spark, pages_dir):
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, pages_dir))
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    key = lambda d: set(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
+    a = footprint_join(spark, pages, polys, cell_km=50).toPandas()
+    b = footprint_join(spark, pages, polys, cell_km=100).toPandas()
+    assert key(a) == key(b)
+
+
+def test_fp_join_plan_has_no_shuffle(spark, pages_dir):
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, pages_dir))
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    plan = (
+        footprint_join(spark, pages, polys)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # broadcast join + arithmetic reporting-cell dedup: the probe side
+    # must stream with no exchange anywhere
+    assert "Exchange" not in plan or "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
