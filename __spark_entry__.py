@@ -25,12 +25,12 @@ ORACLE_SCALE = "sf0.01"  # the driver's correctness scale
 def _geo_dir(sf_dir: str) -> str:
     """Map the driver's sf dir to our pages dataset dir (generating it
     on first use — deterministic, seed 42)."""
-    from fgcspark.synth.pages import SCALE_ROWS, generate
+    from fgcspark.synth.pages import SCALE_ROWS, ensure
 
     scale = Path(sf_dir).name
     if scale not in SCALE_ROWS:
         scale = ORACLE_SCALE
-    return str(generate(scale, Path(GEO_DATA)))
+    return str(ensure(scale, Path(GEO_DATA)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -105,6 +105,28 @@ def _q_tile_counts_salted(spark, sf_dir):
         F.count(F.lit(1)).alias("c")
     )
     return partial.groupBy("cell").agg(F.sum("c").cast("long").alias("n_docs"))
+
+
+def _q_tile_rollup(spark, sf_dir):
+    """Multi-resolution tile rollup: ONE shuffle over the page table
+    builds the 10 km aggregate; 50/100 km levels are derived from that
+    aggregate by integer bucket arithmetic (hypertable continuous-
+    aggregate shape — the 100 TB input is scanned exactly once)."""
+    from fgcspark.pipeline import tile_counts
+    from fgcspark.tiles import tile_rollup
+
+    finest = tile_counts(spark, _geo_dir(sf_dir), size_km=10)
+    return tile_rollup(finest, base_km=10, sizes=(10, 50, 100))
+
+
+def _q_host_stats(spark, sf_dir):
+    """Per-host crawl QA aggregate (normalized host key): page count,
+    distinct languages, distinct 100 km tiles."""
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.urlops import host_stats
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir)).select("url", "lang", "cell_100km")
+    return host_stats(pts)
 
 
 def _q_pip(spark, sf_dir):
@@ -203,6 +225,20 @@ def _q_knn(spark, sf_dir):
     pts = pages_to_points(spark, d).select("url", "e", "n")
     probes = spark.read.parquet(f"{d}/probes.parquet")
     return knn_join(spark, pts, probes, k=5).select("probe_id", "url")
+
+
+def _q_dwithin(spark, sf_dir):
+    """Distance-within join: pages within 25 km (EPSG:3067 plane) of
+    each probe, via broadcast cell cover + exact squared-distance test
+    (zero page-side shuffle)."""
+    from fgcspark.joins.dwithin import dwithin_join
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.synth.pages import DW_RADIUS_M
+
+    d = _geo_dir(sf_dir)
+    pts = pages_to_points(spark, d).select("url", "e", "n")
+    probes = spark.read.parquet(f"{d}/probes.parquet")
+    return dwithin_join(spark, pts, probes, radius_m=DW_RADIUS_M)
 
 
 def _q_streamed_points(spark, sf_dir):
@@ -545,6 +581,31 @@ def _q_latest_event(spark, sf_dir):
     )
 
 
+def _q_events_asof(spark, sf_dir):
+    """As-of join: for each purchase event, the same user's most recent
+    click at or before it (union + tag + window — one shuffle on
+    user_id, no theta-join blow-up)."""
+    from fgcspark.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", "event_id", ["value"])
+    # sentinel-coalesce the nullable as-of payload: the driver's compare
+    # sorts raw row tuples, which a None cannot participate in (same
+    # convention as occ_facts_join)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof_event_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("click_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo engine (pages dataset; oracles = generator truth parquets)
@@ -555,11 +616,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_tiles": _q_tiles,
         "tile_counts_10km": _q_tile_counts,
         "tile_counts_10km_salted": _q_tile_counts_salted,
+        "tile_rollup": _q_tile_rollup,
+        "host_stats": _q_host_stats,
         "pip_join": _q_pip,
         "pip_counts": _q_pip_counts,
         "pip_join_partitioned": _q_pip_partitioned,
         "fp_layer_join": _q_fp_join,
         "knn_k5": _q_knn,
+        "dwithin_join": _q_dwithin,
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
         "chunked_resume": _q_chunked_resume,
@@ -573,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference relational semantics
         "facts_pivot": _q_facts_pivot,
         "latest_event_per_user": _q_latest_event,
+        "events_asof_join": _q_events_asof,
         "lineitem_agg": _q_lineitem_agg,
         "revenue_by_nation": _q_revenue_by_nation,
         # training-data ops
@@ -656,6 +721,33 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT cell_10km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 1"
     )
     sql["tile_counts_10km_salted"] = sql["tile_counts_10km"]
+    sql["tile_rollup"] = (
+        f"SELECT 10 AS res_km, cell_10km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 2"
+        f" UNION ALL "
+        f"SELECT 50, cell_50km, count(*) FROM {_TR} GROUP BY 2"
+        f" UNION ALL "
+        f"SELECT 100, cell_100km, count(*) FROM {_TR} GROUP BY 2"
+    )
+    sql["host_stats"] = f"""
+        SELECT regexp_replace(regexp_replace(lower(
+                   regexp_extract(url, '//([^/:?#]+)', 1)), '\\.$', ''),
+               '^www\\.', '') AS host,
+               count(*) AS n_pages,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT cell_100km) AS n_cells_100km
+        FROM {_TR} GROUP BY 1
+    """
+    sql["dwithin_join"] = (
+        f"SELECT probe_id, url FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/dwithin.parquet')"
+    )
+    sql["events_asof_join"] = """
+        SELECT l.event_id, l.user_id,
+               coalesce(r.event_id, -1) AS click_id,
+               coalesce(r.value, -1.0) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
     sql["pip_join"] = (
         f"SELECT url, poly_id FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet')"
     )

@@ -39,8 +39,12 @@ BENCH_QUERIES = [
     "pip_counts",
     "fp_layer_join",
     "knn_k5",
+    "dwithin_join",
+    "tile_rollup",
+    "host_stats",
     "facts_pivot",
     "latest_event_per_user",
+    "events_asof_join",
     "lineitem_agg",
     "revenue_by_nation",
     "exact_dedup",

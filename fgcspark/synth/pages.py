@@ -63,6 +63,7 @@ CAT_PER_1000 = [(0, 628), (1, 16), (2, 16), (3, 170), (4, 110), (5, 27), (6, 3),
 SPECIES = [f"species_{i:02d}" for i in range(50)]
 K_NN = 5
 N_PROBES = 200
+DW_RADIUS_M = 25_000.0  # distance-within join radius (dwithin.parquet golden)
 N_POLYGONS = 200
 
 
@@ -678,18 +679,41 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
         out / "probes.parquet",
     )
 
+    # --- distance-within golden (brute force over ALL pairs; small scales,
+    # same gate/rationale as the fp-join golden) ---------------------------
+    if n <= 100_000:
+        r2 = DW_RADIUS_M * DW_RADIUS_M
+        dw_pid, dw_url = [], []
+        for p in range(N_PROBES):
+            d2 = (e_eff - pe[p]) ** 2 + (n_eff - pn[p]) ** 2
+            near = np.nonzero(d2 <= r2 * 1.001)[0]
+            # no pair may sit within 1e-3 m of the radius boundary, so the
+            # engine's identical squared-double comparison cannot flip
+            assert not np.any(
+                np.abs(np.sqrt(d2[near]) - DW_RADIUS_M) < 1e-3
+            ), "dwithin boundary tie"
+            for i in near[d2[near] <= r2]:
+                dw_pid.append(p)
+                dw_url.append(urls[i])
+        pq.write_table(
+            pa.table({"probe_id": pa.array(dw_pid, pa.int64()), "url": dw_url}),
+            out / "dwithin.parquet",
+        )
+
     (out / "_SUCCESS").touch()
     return out
 
 
-def ensure(scale: str) -> Path:
-    out = generate(scale)
+def ensure(scale: str, out_dir: Path | None = None) -> Path:
+    out = generate(scale, out_dir)
     # datasets written before the fp-join golden existed lack
     # fpjoin.parquet; generation is deterministic, so a forced re-run
     # rewrites identical bytes plus the new golden (small scales only —
     # large scales never carry it, see generate()).
-    if SCALE_ROWS[scale] <= 100_000 and not (out / "fpjoin.parquet").exists():
-        out = generate(scale, force=True)
+    if SCALE_ROWS[scale] <= 100_000 and not (
+        (out / "fpjoin.parquet").exists() and (out / "dwithin.parquet").exists()
+    ):
+        out = generate(scale, out_dir, force=True)
     return out
 
 

@@ -54,6 +54,46 @@ def raster_assemble(points: DataFrame, parent_col: str = "cell_100km") -> DataFr
     return sparse.select("cell", dense.alias("raster"))
 
 
+def tile_rollup(finest: DataFrame, base_km: int = 10, sizes=(10, 50, 100)) -> DataFrame:
+    """Hierarchical multi-resolution rollup from ONE finest aggregate.
+
+    ``finest`` is the (cell, n_docs) output of the base_km tile count —
+    the engine's single shuffle over the page table. Every coarser
+    resolution is derived from that aggregate by integer bucket
+    arithmetic (floor(floor(x/a)/k) == floor(x/(a*k)) for k = size/base),
+    so a 100 TB input is scanned and shuffled exactly once; the 50/100 km
+    re-aggregations run over the ~10^4-row 10 km aggregate. This is the
+    rollup shape a hypertable/continuous-aggregate engine uses, applied
+    to the reference's 1/10/50/100 km grid scheme (SURVEY.md §1.2).
+
+    Returns long form (res_km int, cell string, n_docs long).
+    """
+    for s in sizes:
+        if s % base_km:
+            raise ValueError(f"{s} km not a multiple of base {base_km} km")
+    nb = F.split(F.col("cell"), ":")[0].cast("long")
+    eb = F.split(F.col("cell"), ":")[1].cast("long")
+    out = None
+    for s in sizes:
+        if s == base_km:
+            lvl = finest.select(
+                F.lit(s).cast("int").alias("res_km"), "cell", "n_docs"
+            )
+        else:
+            k = s // base_km
+            lvl = (
+                finest.groupBy(
+                    F.concat_ws(
+                        ":", F.floor(nb / k).cast("long"), F.floor(eb / k).cast("long")
+                    ).alias("cell")
+                )
+                .agg(F.sum("n_docs").alias("n_docs"))
+                .select(F.lit(s).cast("int").alias("res_km"), "cell", "n_docs")
+            )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
 def raster_to_vector(raster: DataFrame) -> DataFrame:
     """(cell, raster[100]) -> sparse long form (cell, sub_idx, n_docs),
     zero slots dropped — the exact inverse of raster_assemble over the
