@@ -70,6 +70,36 @@ class PolygonIndex:
                     out.append((nb, eb, int(pid)))
         return out
 
+    def edges_flat(self, i: int) -> list[tuple[float, float, float, float]]:
+        """All edges of polygon index i as (x0, y0, x1, y1) tuples —
+        every ring contributes its consecutive vertex pairs (closed
+        rings drop the duplicate closing vertex). Even-odd containment
+        = parity of total crossings over this flat list, because the
+        parity of a sum is the XOR of per-ring parities."""
+        out = []
+        for ring in self.rings[i]:
+            closed = bool((ring[0] == ring[-1]).all())
+            a = ring[:-1] if closed else ring
+            b = ring[1:] if closed else np.roll(ring, -1, axis=0)
+            for (ex0, ey0), (ex1, ey1) in zip(a, b):
+                out.append((float(ex0), float(ey0), float(ex1), float(ey1)))
+        return out
+
+    def cover_with_edges(self):
+        """cover() rows extended with the polygon's flat edge array and
+        bbox — the broadcast build side of the JVM-expression refine."""
+        s = self.cell_km * 1000
+        out = []
+        for i, (pid, (x0, y0, x1, y1)) in enumerate(zip(self.poly_ids, self.bboxes)):
+            edges = self.edges_flat(i)
+            for nb in range(int(np.floor(y0 / s)), int(np.floor(y1 / s)) + 1):
+                for eb in range(int(np.floor(x0 / s)), int(np.floor(x1 / s)) + 1):
+                    out.append(
+                        (nb, eb, int(pid), edges,
+                         float(x0), float(y0), float(x1), float(y1))
+                    )
+        return out
+
 
 def build_polygon_index(
     spark: SparkSession, polygons: DataFrame, cell_km: int = DEFAULT_CELL_KM
@@ -163,12 +193,31 @@ def pip_join(
     cell_km: int = DEFAULT_CELL_KM,
     key_col: str = "url",
     cache_key: str | None = None,
+    refine: str = "expr",
 ) -> DataFrame:
     """Exact PIP join: returns (key_col, poly_id) rows.
 
     `points` must carry EPSG:3067 `e`/`n` columns (pipeline.with_tm35).
     Pass cache_key to reuse the driver-built index across jobs.
+
+    Two refine backends, identical IEEE-double arithmetic (the crossing
+    formula `(x1-x0)*(py-y0)/(y1-y0)+x0` is evaluated in the same
+    operation order, so results are bit-identical — asserted by
+    test_joins.py):
+
+    - "expr" (default): crossing parity as a JVM higher-order
+      `aggregate` lambda over the polygon's broadcast edge array —
+      NO Python workers anywhere in the join, no Arrow IPC, no extra
+      process scheduling; the whole join is one broadcast-hash join
+      plus interpreted-expression filters. Cost is O(edges) per
+      candidate row in the JVM.
+    - "pandas": the Arrow-batched numpy kernel (vectorized per polygon
+      over its candidate batch). Wins when polygons are edge-heavy
+      (thousands of vertices), where the O(edges) interpreted lambda
+      loses to vectorized (candidates x edges) numpy blocks.
     """
+    if refine not in ("expr", "pandas"):
+        raise ValueError(f"unknown refine backend {refine!r}")
     if cache_key is not None:
         idx, bc = cached_index(spark, polygons, cell_km, cache_key)
     else:
@@ -176,21 +225,54 @@ def pip_join(
         bc = spark.sparkContext.broadcast(
             {int(p): (r, b) for p, r, b in zip(idx.poly_ids, idx.rings, idx.bboxes)}
         )
+    s = cell_km * 1000
+    cell_cols = [
+        F.floor(F.col("n") / s).cast("long").alias("cell_n"),
+        F.floor(F.col("e") / s).cast("long").alias("cell_e"),
+    ]
+
+    if refine == "expr":
+        cover = spark.createDataFrame(
+            idx.cover_with_edges(),
+            schema=(
+                "cell_n long, cell_e long, poly_id long, "
+                "edges array<struct<x0:double,y0:double,x1:double,y1:double>>, "
+                "bx0 double, by0 double, bx1 double, by1 double"
+            ),
+        )
+        cand = (
+            points.select(key_col, "e", "n", *cell_cols)
+            .join(F.broadcast(cover), ["cell_n", "cell_e"])
+            .where(
+                (F.col("e") >= F.col("bx0")) & (F.col("e") <= F.col("bx1"))
+                & (F.col("n") >= F.col("by0")) & (F.col("n") <= F.col("by1"))
+            )
+        )
+        crossings = F.aggregate(
+            "edges",
+            F.lit(0),
+            lambda acc, ed: acc
+            + F.when(
+                ((ed["y0"] > F.col("n")) != (ed["y1"] > F.col("n")))
+                & (
+                    F.col("e")
+                    < (ed["x1"] - ed["x0"]) * (F.col("n") - ed["y0"])
+                    / (ed["y1"] - ed["y0"]) + ed["x0"]
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        return cand.where(crossings % 2 == 1).select(key_col, "poly_id")
 
     cover = spark.createDataFrame(
         idx.cover(), schema="cell_n long, cell_e long, poly_id long"
     )
-    s = cell_km * 1000
-    cand = points.select(
-        key_col,
-        "e",
-        "n",
-        F.floor(F.col("n") / s).cast("long").alias("cell_n"),
-        F.floor(F.col("e") / s).cast("long").alias("cell_e"),
-    ).join(F.broadcast(cover), ["cell_n", "cell_e"])
+    cand = points.select(key_col, "e", "n", *cell_cols).join(
+        F.broadcast(cover), ["cell_n", "cell_e"]
+    )
 
     @pandas_udf(T.BooleanType())
-    def refine(e: pd.Series, n: pd.Series, pid: pd.Series) -> pd.Series:
+    def refine_udf(e: pd.Series, n: pd.Series, pid: pd.Series) -> pd.Series:
         ex = e.to_numpy()
         ny = n.to_numpy()
         pv = pid.to_numpy()
@@ -211,7 +293,7 @@ def pip_join(
         return pd.Series(out)
 
     return (
-        cand.filter(refine(F.col("e"), F.col("n"), F.col("poly_id")))
+        cand.filter(refine_udf(F.col("e"), F.col("n"), F.col("poly_id")))
         .select(key_col, "poly_id")
     )
 

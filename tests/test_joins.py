@@ -33,6 +33,17 @@ def test_pip_matches_golden(spark, pages_dir, points):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_pip_refine_backends_bit_identical(spark, pages_dir, points):
+    """The JVM-expression refine and the Arrow/numpy refine evaluate
+    the same crossing formula in the same operation order — their
+    outputs must be IDENTICAL row sets (not just close)."""
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    key = lambda d: sorted(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
+    a = pip_join(spark, points, polys, refine="expr").toPandas()
+    b = pip_join(spark, points, polys, refine="pandas").toPandas()
+    assert key(a) == key(b)
+
+
 def test_pip_cell_prefilter_is_lossless(spark, pages_dir, points):
     # a coarser prefilter grid must give identical results
     polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
