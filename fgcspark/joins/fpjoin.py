@@ -25,17 +25,23 @@ golden and scripts/validate_at_scale.py):
 
 Physical plan (Spark-first, zero probe-side shuffle):
 1. one Arrow-batched pandas UDF parses + projects each footprint ONCE
-   and emits (wkb, bbox) — WKB so downstream stages never re-parse;
+   and emits its geometry (nested part arrays for the default
+   expression refine; WKB for the numpy refine) + bbox, so downstream
+   stages never re-parse;
 2. the probe's bbox cell cover is exploded JVM-side with
    sequence()/explode (pure codegen — footprints are small, the cover
-   is 1-4 cells at the 50 km prefilter);
+   is a handful of cells at the prefilter grid);
 3. broadcast hash join against the layer's (cell, poly_id) cover;
-4. one refine pandas UDF runs the exact intersects test against the
-   broadcast ring table, vectorized per polygon over its candidates;
-   duplicate (footprint, polygon) candidates from multi-cell overlap
-   are deduped WITHOUT a shuffle: a candidate is emitted only from its
-   reporting cell — the cell containing the lower-left corner of the
-   bbox intersection, which both covers are guaranteed to contain.
+4. the exact intersects refine: by default nested JVM higher-order
+   lambdas over the part/edge arrays (no Python after stage 1);
+   optionally the WKB + numpy pandas UDF. Duplicate (footprint,
+   polygon) candidates from multi-cell overlap are deduped WITHOUT a
+   shuffle: a candidate is emitted only from its reporting cell — the
+   cell containing the lower-left corner of the bbox intersection,
+   which both covers are guaranteed to contain. The per-pair predicate
+   is heavier than pip_join's, so the default prefilter grid is finer
+   (10 km vs 50 km): a larger broadcast cover buys proportionally
+   fewer candidate pairs.
 
 At 100 TB the page side streams through the scan once — no shuffle, no
 distinct: the broadcast join replicates only the small cover table and
@@ -198,6 +204,159 @@ _FP_SCHEMA = T.StructType(
     ]
 )
 
+# nested parts for the JVM-expression refine: one struct per primitive
+# part — its vertices (containment probes), its segments (crossing
+# tests), and whether it is areal (enables the reverse-containment
+# test). Built once in the project UDF; every downstream predicate is
+# a JVM higher-order lambda over these arrays.
+_VERT = T.StructType(
+    [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+)
+_SEG = T.StructType(
+    [
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("x2", T.DoubleType()),
+        T.StructField("y2", T.DoubleType()),
+    ]
+)
+_PART = T.StructType(
+    [
+        T.StructField("areal", T.BooleanType()),
+        T.StructField("verts", T.ArrayType(_VERT)),
+        T.StructField("segs", T.ArrayType(_SEG)),
+    ]
+)
+_FP_PARTS_SCHEMA = T.StructType(
+    [
+        T.StructField("parts", T.ArrayType(_PART)),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+    ]
+)
+
+
+def _parts_rows(parts: list) -> list:
+    """_flatten_parts output -> rows for the _PART array column."""
+    out = []
+    for kind, arr in parts:
+        if kind == "pt":
+            verts = np.asarray(arr, float).reshape(-1, 2)
+            segs = np.empty((0, 4))
+            areal = False
+        elif kind == "line":
+            verts = np.asarray(arr, float).reshape(-1, 2)
+            segs = _ring_segs(verts, closed=False)
+            areal = False
+        else:  # poly: arr is a ring list
+            verts = np.concatenate([np.asarray(r, float) for r in arr])
+            segs = np.concatenate([_ring_segs(r, closed=True) for r in arr])
+            areal = True
+        out.append(
+            (
+                areal,
+                [(float(x), float(y)) for x, y in verts],
+                [tuple(map(float, s)) for s in segs],
+            )
+        )
+    return out
+
+
+@pandas_udf(_FP_PARTS_SCHEMA)
+def _fp_project_parts(fp: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """Parse + project each row's join geometry once -> (parts, bbox).
+    Same parse/substitution rules as _fp_project_wkb; emits the nested
+    part arrays instead of WKB."""
+    n = len(fp)
+    rows: list = [None] * n
+    bb = np.full((n, 4), np.nan)
+    lon_v = lon.to_numpy(dtype=float, na_value=np.nan)
+    lat_v = lat.to_numpy(dtype=float, na_value=np.nan)
+    for i in range(n):
+        w = fp.iloc[i]
+        substitute = w is None or w.startswith("POINT") or "EMPTY" in w
+        if substitute and np.isfinite(lon_v[i]) and np.isfinite(lat_v[i]):
+            g = Geom("POINT", np.array([lon_v[i], lat_v[i]]))
+        elif w is None:
+            continue
+        else:
+            try:
+                g = parse_wkt(w)
+            except Exception:
+                continue
+        p = _project_geom(g)
+        box = _geom_bbox(p)
+        if box is None:
+            continue
+        parts: list = []
+        _flatten_parts(p, parts)
+        rows[i] = _parts_rows(parts)
+        bb[i] = box
+    return pd.DataFrame(
+        {"parts": rows, "x0": bb[:, 0], "y0": bb[:, 1], "x1": bb[:, 2], "y1": bb[:, 3]}
+    )
+
+
+def _x_cross(ox, oy, px, py, qx, qy):
+    """Column twin of _segs_any_intersect's orientation cross product
+    (same operation order -> bit-identical doubles)."""
+    return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+
+def _x_seg_int(a, b):
+    """Column twin of one (segA, segB) pair of _segs_any_intersect:
+    proper straddle OR zero-orientation endpoint-in-bbox touch."""
+    d1 = _x_cross(b["x1"], b["y1"], b["x2"], b["y2"], a["x1"], a["y1"])
+    d2 = _x_cross(b["x1"], b["y1"], b["x2"], b["y2"], a["x2"], a["y2"])
+    d3 = _x_cross(a["x1"], a["y1"], a["x2"], a["y2"], b["x1"], b["y1"])
+    d4 = _x_cross(a["x1"], a["y1"], a["x2"], a["y2"], b["x2"], b["y2"])
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def on(px, py, sx1, sy1, sx2, sy2, d):
+        return (
+            (d == F.lit(0.0))
+            & (px >= F.least(sx1, sx2))
+            & (px <= F.greatest(sx1, sx2))
+            & (py >= F.least(sy1, sy2))
+            & (py <= F.greatest(sy1, sy2))
+        )
+
+    touch = (
+        on(a["x1"], a["y1"], b["x1"], b["y1"], b["x2"], b["y2"], d1)
+        | on(a["x2"], a["y2"], b["x1"], b["y1"], b["x2"], b["y2"], d2)
+        | on(b["x1"], b["y1"], a["x1"], a["y1"], a["x2"], a["y2"], d3)
+        | on(b["x2"], b["y2"], a["x1"], a["y1"], a["x2"], a["y2"], d4)
+    )
+    return proper | touch
+
+
+def _x_parity(v, segs):
+    """Column twin of _pip_mask/_in_rings over a flat segment array:
+    even-odd crossing parity of point v (same crossing formula and
+    operation order as the numpy kernel)."""
+    return (
+        F.aggregate(
+            segs,
+            F.lit(0),
+            lambda acc, ed: acc
+            + F.when(
+                ((ed["y1"] > v["y"]) != (ed["y2"] > v["y"]))
+                & (
+                    v["x"]
+                    < (ed["x2"] - ed["x1"]) * (v["y"] - ed["y1"])
+                    / (ed["y2"] - ed["y1"]) + ed["x1"]
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        % 2
+        == 1
+    )
+
 
 def _geom_bbox(g: Geom) -> tuple[float, float, float, float] | None:
     parts: list = []
@@ -252,15 +411,31 @@ def footprint_join(
     spark: SparkSession,
     pages: DataFrame,
     polygons: DataFrame,
-    cell_km: int = DEFAULT_CELL_KM,
+    cell_km: int = 10,
     key_col: str = "url",
     fp_col: str = "footprint",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    refine: str = "expr",
 ) -> DataFrame:
     """(key_col, poly_id) rows where the row's footprint geometry
     intersects the layer polygon. `pages` carries the raw footprint WKT
-    plus lon/lat doubles (fgcspark.extract.with_extracted output)."""
+    plus lon/lat doubles (fgcspark.extract.with_extracted output).
+
+    refine="expr" (default) runs the exact intersects predicate as
+    nested JVM higher-order lambdas over the footprint's part arrays
+    and the polygon's broadcast edge/vertex arrays — after the single
+    parse/project UDF, no Python touches the hot path. refine="pandas"
+    keeps the WKB + numpy backend (wins for very vertex-heavy
+    geometries, same tradeoff as pip_join). Both evaluate identical
+    float predicates in identical operation order — bit-identical
+    outputs (asserted by test_joins.py)."""
+    if refine == "expr":
+        return _footprint_join_expr(
+            spark, pages, polygons, cell_km, key_col, fp_col, lon_col, lat_col
+        )
+    if refine != "pandas":
+        raise ValueError(f"unknown refine backend {refine!r}")
     idx = build_polygon_index(spark, polygons, cell_km)
     bc = spark.sparkContext.broadcast(
         {int(p): (r, tuple(map(float, b))) for p, r, b in zip(idx.poly_ids, idx.rings, idx.bboxes)}
@@ -332,3 +507,94 @@ def footprint_join(
             F.col("cell_e"),
         )
     ).select(key_col, "poly_id")
+
+
+def _footprint_join_expr(
+    spark: SparkSession,
+    pages: DataFrame,
+    polygons: DataFrame,
+    cell_km: int,
+    key_col: str,
+    fp_col: str,
+    lon_col: str,
+    lat_col: str,
+) -> DataFrame:
+    """JVM-expression backend of footprint_join: intersects =
+    any footprint vertex inside the polygon (even-odd parity), OR any
+    (footprint segment x polygon edge) pair crossing/touching, OR —
+    for areal parts — any polygon vertex inside the part. One
+    broadcast-hash join + interpreted lambdas; zero Python after the
+    parse/project UDF, zero shuffle, reporting-cell dedup as plain
+    column arithmetic."""
+    idx = build_polygon_index(spark, polygons, cell_km)
+    cover_rows = []
+    s = cell_km * 1000
+    for i, (pid, (x0, y0, x1, y1)) in enumerate(zip(idx.poly_ids, idx.bboxes)):
+        edges = [tuple(map(float, e)) for e in idx.edges_flat(i)]
+        verts = [
+            (float(x), float(y))
+            for ring in idx.rings[i]
+            for x, y in np.asarray(ring, float)
+        ]
+        for nb in range(int(np.floor(y0 / s)), int(np.floor(y1 / s)) + 1):
+            for eb in range(int(np.floor(x0 / s)), int(np.floor(x1 / s)) + 1):
+                cover_rows.append(
+                    (nb, eb, int(pid), edges, verts,
+                     float(x0), float(y0), float(x1), float(y1))
+                )
+    cover = spark.createDataFrame(
+        cover_rows,
+        schema=(
+            "cell_n long, cell_e long, poly_id long, "
+            "poly_edges array<struct<x1:double,y1:double,x2:double,y2:double>>, "
+            "poly_verts array<struct<x:double,y:double>>, "
+            "bx0 double, by0 double, bx1 double, by1 double"
+        ),
+    )
+
+    probe = (
+        pages.select(
+            key_col,
+            _fp_project_parts(F.col(fp_col), F.col(lon_col), F.col(lat_col)).alias("_g"),
+        )
+        .select(key_col, "_g.*")
+        .where(F.col("parts").isNotNull())
+        .withColumn(
+            "cell_n",
+            F.explode(F.sequence(F.floor(F.col("y0") / s), F.floor(F.col("y1") / s))),
+        )
+        .withColumn(
+            "cell_e",
+            F.explode(F.sequence(F.floor(F.col("x0") / s), F.floor(F.col("x1") / s))),
+        )
+        .join(F.broadcast(cover), ["cell_n", "cell_e"])
+        # reporting-cell dedup (same arithmetic as the pandas refine):
+        # only the cell holding the bbox-intersection's lower-left
+        # corner emits a (footprint, polygon) pair
+        .where(
+            (F.floor(F.greatest(F.col("y0"), F.col("by0")) / s) == F.col("cell_n"))
+            & (F.floor(F.greatest(F.col("x0"), F.col("bx0")) / s) == F.col("cell_e"))
+        )
+        # bbox overlap prefilter: bbox-disjoint geometries cannot
+        # intersect, so this prunes lambda work without changing output
+        .where(
+            (F.col("x0") <= F.col("bx1")) & (F.col("x1") >= F.col("bx0"))
+            & (F.col("y0") <= F.col("by1")) & (F.col("y1") >= F.col("by0"))
+        )
+    )
+
+    hit = F.exists(
+        "parts",
+        lambda part: (
+            F.exists(part["verts"], lambda v: _x_parity(v, F.col("poly_edges")))
+            | F.exists(
+                part["segs"],
+                lambda sg: F.exists(F.col("poly_edges"), lambda ed: _x_seg_int(sg, ed)),
+            )
+            | (
+                part["areal"]
+                & F.exists(F.col("poly_verts"), lambda v: _x_parity(v, part["segs"]))
+            )
+        ),
+    )
+    return probe.where(hit).select(key_col, "poly_id")

@@ -237,6 +237,21 @@ def test_fp_join_matches_golden(spark, pages_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_fp_refine_backends_bit_identical(spark, pages_dir):
+    """The nested-lambda expression refine and the WKB/numpy refine
+    evaluate identical float predicates — identical row sets."""
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, pages_dir))
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    key = lambda d: sorted(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
+    a = footprint_join(spark, pages, polys, refine="expr").toPandas()
+    b = footprint_join(spark, pages, polys, refine="pandas").toPandas()
+    assert key(a) == key(b)
+
+
 def test_fp_join_prefilter_is_lossless(spark, pages_dir):
     from fgcspark.extract import with_extracted
     from fgcspark.joins.fpjoin import footprint_join
