@@ -129,6 +129,17 @@ def _q_host_stats(spark, sf_dir):
     return host_stats(pts)
 
 
+def _q_zorder(spark, sf_dir):
+    """Morton/Z-order clustering key per page (1 km cells) — the sort
+    key a clustered spatial write lays files out by. Pure integer
+    bit-spreading inside codegen."""
+    from fgcspark.cells.zorder import zorder_key
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir))
+    return pts.select("url", zorder_key(F.col("e"), F.col("n")).alias("zorder"))
+
+
 def _q_pip(spark, sf_dir):
     from fgcspark.joins.pip import pip_join
     from fgcspark.pipeline import pages_to_points
@@ -606,6 +617,14 @@ def _q_events_asof(spark, sf_dir):
     )
 
 
+def _q_token_percentiles(spark, sf_dir):
+    """Corpus QA: per-language p50/p90/p99 of BPE-ish token counts
+    (exact percentile; approx_count sketch variant is the 100 TB path)."""
+    from fgcspark.textops import token_percentiles
+
+    return token_percentiles(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo engine (pages dataset; oracles = generator truth parquets)
@@ -618,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_10km_salted": _q_tile_counts_salted,
         "tile_rollup": _q_tile_rollup,
         "host_stats": _q_host_stats,
+        "pages_zorder": _q_zorder,
         "pip_join": _q_pip,
         "pip_counts": _q_pip_counts,
         "pip_join_partitioned": _q_pip_partitioned,
@@ -649,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "quality_signals": _q_quality,
         "token_counts": _q_tokens,
+        "token_percentiles": _q_token_percentiles,
         "doc_fingerprint": _q_fingerprint,
         "embed_neardup": _q_embed_neardup,
         "iceberg_pruned_scan": _q_iceberg_pruned,
@@ -736,6 +757,25 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT lang) AS n_langs,
                count(DISTINCT cell_100km) AS n_cells_100km
         FROM {_TR} GROUP BY 1
+    """
+    # Morton interleave re-derived in SQL with the same magic-number
+    # spread (independent of the engine's Column expression tree)
+    sql["pages_zorder"] = f"""
+        WITH b0 AS (
+            SELECT url,
+                   CAST(floor(e / 1000) AS BIGINT) & 65535 AS eb,
+                   CAST(floor(n / 1000) AS BIGINT) & 65535 AS nb
+            FROM {_TR}
+        ),
+        b1 AS (SELECT url, (eb | (eb << 8)) & 16711935 AS eb,
+                           (nb | (nb << 8)) & 16711935 AS nb FROM b0),
+        b2 AS (SELECT url, (eb | (eb << 4)) & 252645135 AS eb,
+                           (nb | (nb << 4)) & 252645135 AS nb FROM b1),
+        b3 AS (SELECT url, (eb | (eb << 2)) & 858993459 AS eb,
+                           (nb | (nb << 2)) & 858993459 AS nb FROM b2),
+        b4 AS (SELECT url, (eb | (eb << 1)) & 1431655765 AS eb,
+                           (nb | (nb << 1)) & 1431655765 AS nb FROM b3)
+        SELECT url, (nb << 1) + eb AS zorder FROM b4
     """
     sql["dwithin_join"] = (
         f"SELECT probe_id, url FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/dwithin.parquet')"
@@ -1088,6 +1128,13 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpeish,
                len(string_split(text, ' ')) AS n_ws
         FROM documents
+    """
+    sql["token_percentiles"] = """
+        SELECT lang,
+               quantile_cont(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')), 0.5) AS p50,
+               quantile_cont(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')), 0.9) AS p90,
+               quantile_cont(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')), 0.99) AS p99
+        FROM documents GROUP BY lang
     """
     sql["doc_fingerprint"] = """
         SELECT doc_id,

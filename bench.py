@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dwithin_join",
     "tile_rollup",
     "host_stats",
+    "pages_zorder",
     "facts_pivot",
     "latest_event_per_user",
     "events_asof_join",

@@ -359,6 +359,39 @@ def quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def token_percentiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group token-length distribution: p50/p90/p99 of the BPE-ish
+    token count (same tokenizer as token_count). Exact percentiles hold
+    a group's values in one task — right for corpus-QA cardinalities
+    (languages, sources); with `approx=True` the KLL-style
+    approx_percentile sketch keeps partial state constant-size for
+    groups with billions of members (the 100 TB path; accuracy 1e-4
+    relative rank)."""
+    pat = "[a-z]+|[0-9]|[^a-z0-9 ]"
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+    pcts = [0.5, 0.9, 0.99]
+    if approx:
+        agg = F.percentile_approx(F.col("_n"), pcts, 10000)
+    else:
+        agg = F.percentile(F.col("_n"), F.array(*[F.lit(p) for p in pcts]))
+    return (
+        df.select(F.col(group_col), n.alias("_n"))
+        .groupBy(group_col)
+        .agg(agg.alias("_p"))
+        .select(
+            group_col,
+            F.col("_p")[0].cast("double").alias("p50"),
+            F.col("_p")[1].cast("double").alias("p90"),
+            F.col("_p")[2].cast("double").alias("p99"),
+        )
+    )
+
+
 def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """BPE-ish subword counting: alpha runs, single digits, single
     punctuation marks."""

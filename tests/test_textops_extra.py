@@ -1,0 +1,57 @@
+"""token_percentiles: exact values vs an independent numpy
+formulation, and the approx sketch variant's rank-accuracy bound."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from fgcspark.textops import token_percentiles
+
+TEXTS = [
+    ("en", "the quick brown fox jumps over the lazy dog"),
+    ("en", "a b c d e f g h i j k l m"),
+    ("en", "hello, world! 123 -- this and that."),
+    ("fi", "sataa ja tuulee koko paivan"),
+    ("fi", "on kaunis kesapaiva tanaan taalla"),
+]
+
+
+def _spark_df(spark, rows):
+    return spark.createDataFrame(rows, schema="lang string, text string")
+
+
+def test_token_percentiles_matches_numpy(spark):
+    import re
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (TEXTS[i % len(TEXTS)][0], TEXTS[i % len(TEXTS)][1] * int(rng.integers(1, 9)))
+        for i in range(200)
+    ]
+    got = (
+        token_percentiles(_spark_df(spark, rows))
+        .toPandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    pat = re.compile(r"[a-z]+|[0-9]|[^a-z0-9 ]")
+    df = pd.DataFrame(rows, columns=["lang", "text"])
+    df["n"] = df["text"].map(lambda t: len(pat.findall(t)))
+    for lang, grp in df.groupby("lang"):
+        # numpy 'linear' interpolation == SQL percentile_cont definition
+        want = np.percentile(grp["n"].to_numpy(), [50, 90, 99])
+        assert np.allclose(got.loc[lang, ["p50", "p90", "p99"]].to_numpy(), want)
+
+
+def test_token_percentiles_approx_within_rank_bound(spark):
+    rows = [("en", "word " * (i + 1)) for i in range(500)]
+    exact = token_percentiles(_spark_df(spark, rows)).toPandas().iloc[0]
+    approx = (
+        token_percentiles(_spark_df(spark, rows), approx=True).toPandas().iloc[0]
+    )
+    # sketch accuracy 1/10000 relative rank over 500 values -> exact
+    # neighbors; allow one rank either side
+    for p in ("p50", "p90", "p99"):
+        assert abs(approx[p] - exact[p]) <= 3.0
+    assert exact["p50"] <= exact["p90"] <= exact["p99"]
