@@ -129,6 +129,38 @@ def _q_host_stats(spark, sf_dir):
     return host_stats(pts)
 
 
+def _q_bbox_range_join(spark, sf_dir):
+    """Spatial window query: pages inside each of 64 deterministic
+    viewport rectangles (broadcast cover + codegen containment)."""
+    from fgcspark.joins.bbox import bbox_range_join
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir)).select("url", "e", "n")
+    return bbox_range_join(spark, pts, _bench_rects())
+
+
+def _bench_rects():
+    """64 deterministic 40x40 km viewports on an 8x8 lattice across the
+    working window — pure constants, mirrored verbatim in the oracle."""
+    rects = []
+    for i in range(64):
+        x0 = 110000.0 + (i % 8) * 75000.0
+        y0 = 6650000.0 + (i // 8) * 135000.0
+        rects.append((i, x0, y0, x0 + 40000.0, y0 + 40000.0))
+    return rects
+
+
+def _q_cell_ring_counts(spark, sf_dir):
+    """k-ring disk query: total docs within Chebyshev distance 2 of
+    each of the 20 hottest 10 km cells (deterministic tie-break)."""
+    from fgcspark.cells.grid import ring_counts
+    from fgcspark.pipeline import tile_counts
+
+    counts = tile_counts(spark, _geo_dir(sf_dir), size_km=10)
+    hot = counts.orderBy(F.desc("n_docs"), F.asc("cell")).limit(20)
+    return ring_counts(hot, counts, k=2)
+
+
 def _q_zorder(spark, sf_dir):
     """Morton/Z-order clustering key per page (1 km cells) — the sort
     key a clustered spatial write lays files out by. Pure integer
@@ -638,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": _q_tile_rollup,
         "host_stats": _q_host_stats,
         "pages_zorder": _q_zorder,
+        "bbox_range_join": _q_bbox_range_join,
+        "cell_ring_counts": _q_cell_ring_counts,
         "pip_join": _q_pip,
         "pip_counts": _q_pip_counts,
         "pip_join_partitioned": _q_pip_partitioned,
@@ -757,6 +791,37 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT lang) AS n_langs,
                count(DISTINCT cell_100km) AS n_cells_100km
         FROM {_TR} GROUP BY 1
+    """
+    _rects_sql = ", ".join(
+        f"({rid}, {x0}, {y0}, {x1}, {y1})" for rid, x0, y0, x1, y1 in _bench_rects()
+    )
+    sql["bbox_range_join"] = f"""
+        SELECT r.rect_id, t.url
+        FROM (VALUES {_rects_sql}) r(rect_id, x0, y0, x1, y1)
+        JOIN {_TR} t
+          ON t.e >= r.x0 AND t.e <= r.x1 AND t.n >= r.y0 AND t.n <= r.y1
+    """
+    sql["cell_ring_counts"] = f"""
+        WITH counts AS (
+            SELECT cell_10km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 1
+        ),
+        hot AS (SELECT cell, n_docs FROM counts ORDER BY n_docs DESC, cell LIMIT 20),
+        parts AS (
+            SELECT cell, n_docs,
+                   CAST(string_split(cell, ':')[1] AS BIGINT) AS nb,
+                   CAST(string_split(cell, ':')[2] AS BIGINT) AS eb
+            FROM hot
+        ),
+        ring AS (
+            SELECT p.cell, p.n_docs,
+                   (p.nb + dn.x) || ':' || (p.eb + de.x) AS ncell
+            FROM parts p
+            CROSS JOIN range(-2, 3) dn(x)
+            CROSS JOIN range(-2, 3) de(x)
+        )
+        SELECT r.cell, r.n_docs, CAST(SUM(c.n_docs) AS BIGINT) AS n_docs_ring
+        FROM ring r JOIN counts c ON c.cell = r.ncell
+        GROUP BY 1, 2
     """
     # Morton interleave re-derived in SQL with the same magic-number
     # spread (independent of the engine's Column expression tree)

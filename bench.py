@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "tile_rollup",
     "host_stats",
     "pages_zorder",
+    "bbox_range_join",
+    "cell_ring_counts",
+    "token_percentiles",
     "facts_pivot",
     "latest_event_per_user",
     "events_asof_join",

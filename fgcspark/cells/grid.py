@@ -12,7 +12,7 @@ tiling: two floors and a concat inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SIZES_KM = (1, 10, 50, 100)
@@ -34,6 +34,38 @@ def cell_key(easting: Column, northing: Column, size_km: int) -> Column:
     n_b = F.floor(northing / F.lit(size_m)).cast("long")
     e_b = F.floor(easting / F.lit(size_m)).cast("long")
     return F.shiftleft(n_b, 20) + e_b
+
+
+def ring_counts(probes: DataFrame, counts: DataFrame, k: int = 2) -> DataFrame:
+    """k-ring neighborhood aggregation: for each probe cell, the total
+    count over every cell within Chebyshev distance k (the (2k+1)^2
+    block centered on it) — the H3/S2 'disk' query on the FinBIF grid.
+
+    `probes` is a SMALL (cell, n_docs) subset (hot cells, a viewport);
+    `counts` is the full per-cell aggregate to sum neighbors from. The
+    ring cells are derived by pure integer arithmetic (explode of a
+    constant offset sequence, no UDF), then a broadcast of the exploded
+    probe rows joins the aggregate — the base table is never rescanned.
+
+    Returns (cell, n_docs, n_docs_ring)."""
+    nb = F.split(F.col("cell"), ":")[0].cast("long")
+    eb = F.split(F.col("cell"), ":")[1].cast("long")
+    offs = F.sequence(F.lit(-k), F.lit(k))
+    exploded = (
+        probes.select("cell", "n_docs", nb.alias("_nb"), eb.alias("_eb"))
+        .withColumn("_dn", F.explode(offs))
+        .withColumn("_de", F.explode(offs))
+        .withColumn(
+            "_ncell",
+            F.concat_ws(":", F.col("_nb") + F.col("_dn"), F.col("_eb") + F.col("_de")),
+        )
+    )
+    neigh = counts.select(F.col("cell").alias("_ncell"), F.col("n_docs").alias("_nn"))
+    return (
+        neigh.join(F.broadcast(exploded), "_ncell")
+        .groupBy("cell", "n_docs")
+        .agg(F.sum("_nn").alias("n_docs_ring"))
+    )
 
 
 def cell_id_np(easting, northing, size_km: int):

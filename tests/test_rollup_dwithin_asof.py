@@ -184,6 +184,47 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
 
 
+# --- bbox range join + k-ring counts --------------------------------------
+
+
+def test_bbox_range_join_brute_force(spark, pages_dir, points):
+    from fgcspark.joins.bbox import bbox_range_join
+
+    rects = [
+        (0, 200000.0, 6700000.0, 300000.0, 6900000.0),
+        (1, 500000.0, 7000000.0, 540000.0, 7040000.0),
+        (2, 100500.0, 6610500.0, 729500.0, 7769500.0),  # whole window
+    ]
+    got = bbox_range_join(spark, points, rects).toPandas()
+    pts = points.toPandas()
+    want = set()
+    for rid, x0, y0, x1, y1 in rects:
+        hit = pts[(pts.e >= x0) & (pts.e <= x1) & (pts.n >= y0) & (pts.n <= y1)]
+        want |= {(rid, u) for u in hit["url"]}
+    assert set(map(tuple, got[["rect_id", "url"]].itertuples(index=False))) == want
+    # the whole-window rect must return every point exactly once
+    assert (got["rect_id"] == 2).sum() == len(pts)
+
+
+def test_ring_counts_matches_pandas(spark, pages_dir):
+    from fgcspark.cells.grid import ring_counts
+
+    counts = tile_counts(spark, pages_dir, size_km=10)
+    hot = counts.orderBy(F.desc("n_docs"), F.asc("cell")).limit(10)
+    got = ring_counts(hot, counts, k=2).toPandas().set_index("cell")
+    cpd = counts.toPandas()
+    table = {c: n for c, n in zip(cpd["cell"], cpd["n_docs"])}
+    for cell, row in got.iterrows():
+        nb, eb = map(int, cell.split(":"))
+        want = sum(
+            table.get(f"{nb+dn}:{eb+de}", 0)
+            for dn in range(-2, 3)
+            for de in range(-2, 3)
+        )
+        assert row["n_docs_ring"] == want
+        assert row["n_docs"] == table[cell]
+
+
 # --- URL host ops ---------------------------------------------------------
 
 
