@@ -161,6 +161,45 @@ def _q_cell_ring_counts(spark, sf_dir):
     return ring_counts(hot, counts, k=2)
 
 
+def _q_top_hosts_per_cell(spark, sf_dir):
+    """Top-3 hosts by page count inside each 100 km cell (window
+    rank over a pre-aggregated (cell, host) table — the shuffle is on
+    the aggregate, not the base table; deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.urlops import norm_host
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir)).select("url", "cell_100km")
+    agg = pts.groupBy(
+        F.col("cell_100km").alias("cell"), norm_host(F.col("url")).alias("host")
+    ).agg(F.count(F.lit(1)).alias("n_pages"))
+    w = Window.partitionBy("cell").orderBy(F.desc("n_pages"), F.asc("host"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("cell", "host", "n_pages", "rank")
+    )
+
+
+def _q_lang_cell_rollup(spark, sf_dir):
+    """OLAP rollup: page counts by (lang, cell_100km), by lang, and
+    grand total in ONE pass (Spark rollup == SQL ROLLUP grouping sets;
+    aggregated-out keys sentineled '*' so rows sort/hash cleanly)."""
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir)).select("lang", "cell_100km")
+    return (
+        pts.rollup("lang", "cell_100km")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("*")).alias("lang"),
+            F.coalesce(F.col("cell_100km"), F.lit("*")).alias("cell"),
+            "n_pages",
+        )
+    )
+
+
 def _q_zorder(spark, sf_dir):
     """Morton/Z-order clustering key per page (1 km cells) — the sort
     key a clustered spatial write lays files out by. Pure integer
@@ -672,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_zorder": _q_zorder,
         "bbox_range_join": _q_bbox_range_join,
         "cell_ring_counts": _q_cell_ring_counts,
+        "top_hosts_per_cell": _q_top_hosts_per_cell,
+        "lang_cell_rollup": _q_lang_cell_rollup,
         "pip_join": _q_pip,
         "pip_counts": _q_pip_counts,
         "pip_join_partitioned": _q_pip_partitioned,
@@ -791,6 +832,31 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT lang) AS n_langs,
                count(DISTINCT cell_100km) AS n_cells_100km
         FROM {_TR} GROUP BY 1
+    """
+    _host_expr = (
+        "regexp_replace(regexp_replace(lower("
+        "regexp_extract(url, '//([^/:?#]+)', 1)), '\\.$', ''), '^www\\.', '')"
+    )
+    sql["top_hosts_per_cell"] = f"""
+        WITH agg AS (
+            SELECT cell_100km AS cell, {_host_expr} AS host,
+                   count(*) AS n_pages
+            FROM {_TR} GROUP BY 1, 2
+        )
+        SELECT cell, host, n_pages, rank FROM (
+            SELECT cell, host, n_pages,
+                   CAST(row_number() OVER (
+                       PARTITION BY cell ORDER BY n_pages DESC, host
+                   ) AS INT) AS rank
+            FROM agg
+        ) WHERE rank <= 3
+    """
+    sql["lang_cell_rollup"] = f"""
+        SELECT coalesce(lang, '*') AS lang,
+               coalesce(cell_100km, '*') AS cell,
+               count(*) AS n_pages
+        FROM {_TR}
+        GROUP BY ROLLUP (lang, cell_100km)
     """
     _rects_sql = ", ".join(
         f"({rid}, {x0}, {y0}, {x1}, {y1})" for rid, x0, y0, x1, y1 in _bench_rects()

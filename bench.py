@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "pages_zorder",
     "bbox_range_join",
     "cell_ring_counts",
+    "top_hosts_per_cell",
+    "lang_cell_rollup",
     "token_percentiles",
     "facts_pivot",
     "latest_event_per_user",

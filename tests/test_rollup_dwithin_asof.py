@@ -225,6 +225,39 @@ def test_ring_counts_matches_pandas(spark, pages_dir):
         assert row["n_docs"] == table[cell]
 
 
+# --- OLAP queries over the page table -------------------------------------
+
+
+def test_lang_cell_rollup_consistency(spark, pages_dir):
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, pages_dir).select("lang", "cell_100km")
+    got = (
+        pts.rollup("lang", "cell_100km")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    total = len(pts.toPandas())
+    grand = got[got.lang.isna() & got.cell_100km.isna()]
+    assert len(grand) == 1 and int(grand.iloc[0]["n"]) == total
+    per_lang = got[got.lang.notna() & got.cell_100km.isna()]
+    assert int(per_lang["n"].sum()) == total
+    leaf = got[got.lang.notna() & got.cell_100km.notna()]
+    assert int(leaf["n"].sum()) == total
+
+
+def test_top_hosts_per_cell_ranks(spark, pages_dir):
+    import __spark_entry__ as E
+
+    got = E._q_top_hosts_per_cell(spark, "/root/testdata/sf0.001").toPandas()
+    # every cell has at most 3 rows, ranks 1..k, counts non-increasing
+    for cell, grp in got.groupby("cell"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["n_pages"].diff().dropna() <= 0).all()
+        assert len(grp) <= 3
+
+
 # --- URL host ops ---------------------------------------------------------
 
 
