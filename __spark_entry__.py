@@ -107,6 +107,18 @@ def _q_tile_counts_salted(spark, sf_dir):
     return partial.groupBy("cell").agg(F.sum("c").cast("long").alias("n_docs"))
 
 
+def _q_pages_cells_jvm(spark, sf_dir):
+    """Zero-Python spatial core: extract -> Catalyst TM35FIN projection
+    -> tiles, all whole-stage codegen (numpy UDF only for the ~0.3 %
+    footprint-centroid fallback rows). Cell ids must equal the numpy
+    pipeline's (kernel divergence < 1e-6 m, boundary clearance tested)."""
+    from fgcspark.pipeline import pages_to_points_jvm
+
+    return pages_to_points_jvm(spark, _geo_dir(sf_dir)).select(
+        "url", "cell_1km", "cell_10km", "cell_50km", "cell_100km"
+    )
+
+
 def _q_tile_rollup(spark, sf_dir):
     """Multi-resolution tile rollup: ONE shuffle over the page table
     builds the 10 km aggregate; 50/100 km levels are derived from that
@@ -706,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_tiles": _q_tiles,
         "tile_counts_10km": _q_tile_counts,
         "tile_counts_10km_salted": _q_tile_counts_salted,
+        "pages_cells_jvm": _q_pages_cells_jvm,
         "tile_rollup": _q_tile_rollup,
         "host_stats": _q_host_stats,
         "pages_zorder": _q_zorder,
@@ -817,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT cell_10km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 1"
     )
     sql["tile_counts_10km_salted"] = sql["tile_counts_10km"]
+    sql["pages_cells_jvm"] = sql["pages_tiles"]
     sql["tile_rollup"] = (
         f"SELECT 10 AS res_km, cell_10km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 2"
         f" UNION ALL "

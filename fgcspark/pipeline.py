@@ -258,6 +258,45 @@ def pages_to_points(spark, data_dir: str) -> DataFrame:
     return with_tiles(df)
 
 
+def pages_to_points_jvm(spark, data_dir: str) -> DataFrame:
+    """Hybrid zero-Python workhorse: rows that carry parsed lon/lat
+    (~99.7 %) are projected by the Catalyst TM35FIN expression
+    (crs/tm35fin_expr.py — whole-stage codegen, no Python workers);
+    only rows needing the G3 footprint-centroid fallback go through
+    the numpy UDF. Same columns as pages_to_points; e/n may differ
+    from the numpy kernel by O(1e-9 m) on the JVM-projected rows
+    (java.lang.Math vs libm transcendentals), which cannot move any
+    km-grid cell id (boundary-clearance asserted in test_crs_expr.py).
+
+    At 100 TB this is the preferred core: the scan -> extract ->
+    project -> tile prefix is one codegen stage; the Python worker
+    pool only ever sees the rare footprint-only rows."""
+    from fgcspark.crs.tm35fin_expr import tm35_cols
+
+    df = with_extracted(load_pages(spark, data_dir))
+    has_coords = F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    jvm = (
+        df.where(has_coords)
+        .withColumn("_en", tm35_cols(F.col("lon"), F.col("lat")))
+        .withColumn("plon", F.col("lon"))
+        .withColumn("plat", F.col("lat"))
+        .withColumn("e", F.col("_en.e"))
+        .withColumn("n", F.col("_en.n"))
+        .drop("_en")
+    )
+    p = point_en(F.col("lon"), F.col("lat"), F.col("footprint"))
+    py = (
+        df.where(~has_coords)
+        .withColumn("_p", p)
+        .withColumn("plon", F.col("_p.plon"))
+        .withColumn("plat", F.col("_p.plat"))
+        .withColumn("e", F.col("_p.e"))
+        .withColumn("n", F.col("_p.n"))
+        .drop("_p")
+    )
+    return with_tiles(jvm.unionByName(py))
+
+
 def count_substitution_rows(df: DataFrame) -> int:
     """The G4 `>1` guard is a table-wide predicate in the reference
     (length(...) > 1L, R/finbif_geo_convert.R:268). Replicated as one
