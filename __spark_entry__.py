@@ -708,6 +708,27 @@ def _q_token_percentiles(spark, sf_dir):
     return token_percentiles(_t(spark, sf_dir, "documents"))
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-min gap):
+    per-session event count and duration. One shuffle on user_id;
+    micros-exact boundary decisions."""
+    from fgcspark.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_s=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (
+                F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            )
+            / F.lit(1_000_000.0)
+        ).alias("duration_s"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo engine (pages dataset; oracles = generator truth parquets)
@@ -746,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facts_pivot": _q_facts_pivot,
         "latest_event_per_user": _q_latest_event,
         "events_asof_join": _q_events_asof,
+        "event_sessions": _q_event_sessions,
         "lineitem_agg": _q_lineitem_agg,
         "revenue_by_nation": _q_revenue_by_nation,
         # training-data ops
@@ -925,6 +947,30 @@ def oracle_sql() -> dict[str, str]:
     sql["dwithin_join"] = (
         f"SELECT probe_id, url FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/dwithin.parquet')"
     )
+    sql["event_sessions"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, event_id,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS duration_s,
+               min(event_id) AS first_event
+        FROM numbered GROUP BY 1, 2
+    """
     sql["events_asof_join"] = """
         SELECT l.event_id, l.user_id,
                coalesce(r.event_id, -1) AS click_id,

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "pages_bbox_wkt",
     "pages_footprint_types",
     "pages_tiles",
+    "pages_cells_jvm",
     "tile_counts_10km",
     "tile_counts_10km_salted",
     "s2_cell_counts_l10",
@@ -51,6 +52,7 @@ BENCH_QUERIES = [
     "facts_pivot",
     "latest_event_per_user",
     "events_asof_join",
+    "event_sessions",
     "lineitem_agg",
     "revenue_by_nation",
     "exact_dedup",

@@ -79,6 +79,37 @@ def global_row_number(
     return ranged.mapInPandas(number, schema)
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: events of one key belong to the same
+    session while consecutive gaps stay <= gap_s seconds. One shuffle
+    on the key; session numbering is a lag + running sum inside the
+    same window sort (no second pass, no UDF). Gap arithmetic is in
+    integer MICROSECONDS (unix_micros) so the boundary decision is
+    exact and engine-independent; `seq_col` breaks timestamp ties
+    deterministically. Adds `session_id` (1-based per key, time
+    order)."""
+    from pyspark.sql import window as W
+
+    w = W.Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    # NTZ timestamps cast through the session tz (engine pins UTC), so
+    # micros are the naive wall-clock epoch both here and in DuckDB
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(W.Window.unboundedPreceding, W.Window.currentRow)
+        ),
+    )
+
+
 def chunk_window(
     df: DataFrame, order_col: str, skip: int, n: int, num_partitions: int | None = None
 ) -> DataFrame:

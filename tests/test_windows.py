@@ -45,3 +45,27 @@ def test_no_single_task_exchange(spark, pages):
     final = global_row_number(pages, "url")._jdf.queryExecution().executedPlan().toString()
     assert "singlepartition" not in final.lower()
     assert "mapinpandas" in final.lower()
+
+
+def test_sessionize_boundaries(spark):
+    from datetime import datetime as dt
+
+    from fgcspark.windows import sessionize
+
+    rows = [
+        # user 1: 3 events, second exactly at the 1800 s gap (inclusive
+        # -> same session), third 1 us past it (-> new session)
+        (1, dt(2024, 1, 1, 0, 0, 0), 1),
+        (1, dt(2024, 1, 1, 0, 30, 0), 2),
+        (1, dt(2024, 1, 1, 1, 0, 0, 1), 3),
+        # user 2: single event
+        (2, dt(2024, 1, 1, 5, 0, 0), 4),
+    ]
+    df = spark.createDataFrame(rows, schema="user_id long, ts timestamp, event_id long")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, gap_s=1800).collect()
+    }
+    assert got[1] == 1 and got[2] == 1  # inclusive boundary stays
+    assert got[3] == 2  # 1 microsecond past the gap starts a session
+    assert got[4] == 1
