@@ -292,6 +292,37 @@ def _q_s2_cell_counts(spark, sf_dir):
     )
 
 
+def _q_hex_cells(spark, sf_dir):
+    """Planar H3-style hex index (pointy-top, 5 km circumradius) over
+    the TM35FIN plane — the hexagonal half of the north_star's 'H3/S2
+    cells'. Pure Catalyst arithmetic; same formula re-derived in the
+    DuckDB oracle via hexgrid.hex_id_sql."""
+    from fgcspark.cells.hexgrid import hex_id
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir))
+    return pts.select("url", hex_id(F.col("e"), F.col("n"), 5000.0).alias("hex_id"))
+
+
+def _q_hex_cell_counts(spark, sf_dir):
+    return (
+        _q_hex_cells(spark, sf_dir)
+        .groupBy("hex_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_hex_ring_counts(spark, sf_dir):
+    """Hex gridDisk(k=2) aggregation over the 20 hottest 5 km hexes —
+    19-cell neighborhood sums via literal-offset explode + broadcast
+    join (the base aggregate is computed once, never rescanned)."""
+    from fgcspark.cells.hexgrid import hex_ring_counts
+
+    counts = _q_hex_cell_counts(spark, sf_dir)
+    hot = counts.orderBy(F.desc("n_docs"), F.asc("hex_id")).limit(20)
+    return hex_ring_counts(hot, counts, k=2)
+
+
 def _q_chunked_resume(spark, sf_dir):
     """Kill-and-resume lineage path (north_rule): run 3 of 8 chunks,
     then resume in a fresh runner; the resumed output must equal the
@@ -562,6 +593,36 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli(0.25) sample by 56-bit md5 of doc_id —
+    partition-layout- and engine-independent (same rows in DuckDB)."""
+    from fgcspark.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.25, "doc_id").select("doc_id", "lang")
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by disjoint
+    hash ranges of doc_id."""
+    from fgcspark.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, _SPLIT_WEIGHTS, "doc_id").select("doc_id", "split")
+
+
+def _q_quota_sample(spark, sf_dir):
+    """Stratified quota: the 20 smallest-hash docs per language —
+    exact per-stratum uniform sample, WindowGroupLimit plan."""
+    from fgcspark.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_sample(docs, "lang", 20, "doc_id").select("doc_id", "lang")
+
+
 def _q_embed_neardup(spark, sf_dir):
     from fgcspark.sim import embedding_neardup_pairs_vec
 
@@ -755,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_join": _q_dwithin,
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
+        "hex_cells_5km": _q_hex_cells,
+        "hex_cell_counts": _q_hex_cell_counts,
+        "hex_ring_counts": _q_hex_ring_counts,
         "chunked_resume": _q_chunked_resume,
         "raster_tiles_100km": _q_raster_tiles,
         "raster_dense_100km": _q_raster_dense,
@@ -781,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_tokens,
         "token_percentiles": _q_token_percentiles,
         "doc_fingerprint": _q_fingerprint,
+        "hash_sample_25pct": _q_hash_sample,
+        "hash_split_801010": _q_hash_split,
+        "quota_sample_lang": _q_quota_sample,
         "embed_neardup": _q_embed_neardup,
         "iceberg_pruned_scan": _q_iceberg_pruned,
         "media_metadata": _q_media_meta,
@@ -1007,6 +1074,41 @@ def oracle_sql() -> dict[str, str]:
     sql["s2_cell_counts_l10"] = (
         f"SELECT {_l10} AS s2_l10, count(*) AS n_docs FROM {_TR} GROUP BY 1"
     )
+    # hex axial id re-derived in SQL from the module's own SQL twin
+    # (identical literals/operator order; divergence surface is only
+    # the generator-vs-engine e/n inputs, as for the km tiles)
+    from fgcspark.cells.hexgrid import hex_id_sql as _hex_sql
+
+    _hex = _hex_sql("e", "n", 5000.0)
+    sql["hex_cells_5km"] = f"SELECT url, {_hex} AS hex_id FROM {_TR}"
+    sql["hex_cell_counts"] = (
+        f"SELECT {_hex} AS hex_id, count(*) AS n_docs FROM {_TR} GROUP BY 1"
+    )
+    sql["hex_ring_counts"] = f"""
+        WITH counts AS (
+            SELECT {_hex} AS hex_id, count(*) AS n_docs FROM {_TR} GROUP BY 1
+        ),
+        hot AS (
+            SELECT hex_id, n_docs FROM counts ORDER BY n_docs DESC, hex_id LIMIT 20
+        ),
+        parts AS (
+            SELECT hex_id, n_docs,
+                   (hex_id >> 21) - 1048576 AS q,
+                   (hex_id & 2097151) - 1048576 AS r
+            FROM hot
+        ),
+        ring AS (
+            SELECT p.hex_id, p.n_docs,
+                   (((p.q + dq.x + 1048576) << 21) + (p.r + dr.x + 1048576)) AS nid
+            FROM parts p
+            CROSS JOIN range(-2, 3) dq(x)
+            CROSS JOIN range(-2, 3) dr(x)
+            WHERE abs(dq.x + dr.x) <= 2
+        )
+        SELECT g.hex_id, g.n_docs, CAST(SUM(c.n_docs) AS BIGINT) AS n_docs_ring
+        FROM ring g JOIN counts c ON c.hex_id = g.nid
+        GROUP BY 1, 2
+    """
     sql["chunked_resume"] = f"SELECT url, cell_10km FROM {_TR}"
     sql["raster_tiles_100km"] = f"""
         SELECT cell_100km AS cell,
@@ -1331,6 +1433,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(concat('0x', substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 14)) AS BIGINT) AS fp
         FROM documents
+    """
+    # deterministic sampling family — same md5-56 key hash re-derived
+    # in DuckDB (thresholds/quotas identical by construction)
+    from fgcspark.sampling import HASH_SPACE as _HS
+    from fgcspark.sampling import split_sql as _split_sql
+
+    _kh = "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)"
+    sql["hash_sample_25pct"] = f"""
+        SELECT doc_id, lang FROM documents WHERE {_kh} < {int(0.25 * _HS)}
+    """
+    sql["hash_split_801010"] = f"""
+        SELECT doc_id, {_split_sql(_SPLIT_WEIGHTS, "doc_id")} AS split FROM documents
+    """
+    sql["quota_sample_lang"] = f"""
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {_kh}, doc_id) <= 20
     """
     sql["embed_neardup"] = """
         WITH v AS (

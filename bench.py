@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "tile_counts_10km",
     "tile_counts_10km_salted",
     "s2_cell_counts_l10",
+    "hex_cell_counts",
+    "hex_ring_counts",
     "pip_join",
     "pip_counts",
     "fp_layer_join",
