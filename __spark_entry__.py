@@ -168,7 +168,9 @@ def _q_cell_ring_counts(spark, sf_dir):
     from fgcspark.cells.grid import ring_counts
     from fgcspark.pipeline import tile_counts
 
-    counts = tile_counts(spark, _geo_dir(sf_dir), size_km=10)
+    # persist the base aggregate: `hot` and the join side both read it,
+    # and without the cache the whole extract pipeline scans twice
+    counts = tile_counts(spark, _geo_dir(sf_dir), size_km=10).persist()
     hot = counts.orderBy(F.desc("n_docs"), F.asc("cell")).limit(20)
     return ring_counts(hot, counts, k=2)
 
@@ -318,7 +320,9 @@ def _q_hex_ring_counts(spark, sf_dir):
     join (the base aggregate is computed once, never rescanned)."""
     from fgcspark.cells.hexgrid import hex_ring_counts
 
-    counts = _q_hex_cell_counts(spark, sf_dir)
+    # persist: `hot` and the join side share this aggregate (one
+    # extract-pipeline scan instead of two)
+    counts = _q_hex_cell_counts(spark, sf_dir).persist()
     hot = counts.orderBy(F.desc("n_docs"), F.asc("hex_id")).limit(20)
     return hex_ring_counts(hot, counts, k=2)
 
@@ -350,6 +354,18 @@ def _q_knn(spark, sf_dir):
     pts = pages_to_points(spark, d).select("url", "e", "n")
     probes = spark.read.parquet(f"{d}/probes.parquet")
     return knn_join(spark, pts, probes, k=5).select("probe_id", "url")
+
+
+def _q_knn_partitioned(spark, sf_dir):
+    """Distributed twin of knn_k5: unbounded probe side, frontier ring
+    expansion, no probe collect/broadcast; same brute-force golden."""
+    from fgcspark.joins.knn import knn_join_partitioned
+    from fgcspark.pipeline import pages_to_points
+
+    d = _geo_dir(sf_dir)
+    pts = pages_to_points(spark, d).select("url", "e", "n")
+    probes = spark.read.parquet(f"{d}/probes.parquet")
+    return knn_join_partitioned(spark, pts, probes, k=5).select("probe_id", "url")
 
 
 def _q_dwithin(spark, sf_dir):
@@ -813,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_partitioned": _q_pip_partitioned,
         "fp_layer_join": _q_fp_join,
         "knn_k5": _q_knn,
+        "knn_k5_partitioned": _q_knn_partitioned,
         "dwithin_join": _q_dwithin,
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
@@ -1060,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_k5"] = (
         f"SELECT probe_id, url FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/knn.parquet')"
     )
+    sql["knn_k5_partitioned"] = sql["knn_k5"]
     # s2lite id arithmetic duplicated in SQL over the truth's E/N
     # (encoding: level<<58 | ix<<29 | iy; root anchored at (0, 6e6))
     _s2 = (

@@ -27,18 +27,172 @@ Physical shape (reworked per round-1 verdict #7):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import window as W
+from pyspark.sql.functions import pandas_udf
 from pyspark.storagelevel import StorageLevel
 
 from fgcspark.crs import tm35fin as tm
+
+
+from pyspark.sql import types as T
+
+_EN = T.StructType(
+    [T.StructField("e", T.DoubleType()), T.StructField("n", T.DoubleType())]
+)
+
+
+@pandas_udf(_EN)
+def _probe_en(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """Probe projection through the SAME numpy kernel as the page side,
+    so distances stay bit-identical to the brute-force golden."""
+    e, n = tm.geodetic_to_tm35(lon.to_numpy(), lat.to_numpy())
+    return pd.DataFrame({"e": e, "n": n})
 
 DEFAULT_CELL_KM = 50
 # the probe set is driver-resident by contract (collected + broadcast
 # per ring batch); cap it explicitly so a misuse fails loudly instead
 # of OOMing the driver
 _MAX_PROBES = 100_000
+
+
+def _ring_offsets(r_lo: int, r_hi: int) -> list[tuple[int, int]]:
+    """All (dn, de) offsets with Chebyshev distance in [r_lo, r_hi]."""
+    out = []
+    for dn in range(-r_hi, r_hi + 1):
+        for de in range(-r_hi, r_hi + 1):
+            if max(abs(dn), abs(de)) >= r_lo:
+                out.append((dn, de))
+    return out
+
+
+def knn_join_partitioned(
+    spark: SparkSession,
+    points: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    cell_km: int = DEFAULT_CELL_KM,
+    key_col: str = "url",
+    max_rings: int = 64,
+) -> DataFrame:
+    """Exact kNN with an UNBOUNDED probe side: (probe_id, url, dist),
+    k rows per probe — no probe collect, no per-probe broadcast, no
+    candidate row ever through the driver.
+
+    The distributed twin of knn_join, for probe sets that scale with
+    the data (the same relationship pip_join_partitioned has to
+    pip_join). Same certification bound and tie rules, different
+    physical shape:
+
+    - probes are projected to EPSG:3067 by the SAME numpy kernel as
+      the page side (whole-batch pandas UDF), so distances are
+      bit-identical to knn_join and the brute-force golden;
+    - each round, the ACTIVE probe frontier cross-joins a broadcast
+      ring-offset table (O((2r+1)^2) rows, probe-count-independent)
+      to enumerate its candidate cells, then equi-joins the page
+      projection on the cell id. The page projection is repartitioned
+      by cell once and persisted, so every round reuses its hash
+      partitioning instead of re-shuffling the big side;
+    - the per-probe running top-k is re-ranked distributively
+      (row_number over (probe, dist) -> WindowGroupLimit partial);
+      certification is a distributed semi/anti-join split on the
+      per-probe (count, kth-dist) aggregate. The only driver values
+      are one COUNT per round for loop control;
+    - certified probes' rows are frozen via localCheckpoint per round
+      (lineage truncation, caches released), active rows carry forward.
+
+    Rounds are geometric in ring radius, so the loop runs
+    O(log max_rings) times regardless of data size.
+    """
+    s = float(cell_km * 1000)
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pts = (
+        points.select(
+            key_col,
+            "e",
+            "n",
+            F.floor(F.col("n") / s).cast("long").alias("cell_n"),
+            F.floor(F.col("e") / s).cast("long").alias("cell_e"),
+        )
+        .repartition(nshuf, "cell_n", "cell_e")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    active = (
+        probes.select("probe_id", _probe_en("lon", "lat").alias("_p"))
+        .select(
+            "probe_id",
+            F.col("_p.e").alias("pe"),
+            F.col("_p.n").alias("pn"),
+            F.floor(F.col("_p.n") / s).cast("long").alias("pcell_n"),
+            F.floor(F.col("_p.e") / s).cast("long").alias("pcell_e"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    win = W.Window.partitionBy("probe_id").orderBy("dist", key_col)
+    state: DataFrame | None = None  # running top-k of ACTIVE probes
+    done: list[DataFrame] = []  # frozen top-k of certified probes
+    hold: list[DataFrame] = [pts, active]
+    r_lo, r_hi = 0, 1
+    try:
+        while r_lo <= max_rings:
+            r_cap = min(r_hi, max_rings)
+            offs = spark.createDataFrame(
+                _ring_offsets(r_lo, r_cap), schema="dn long, de long"
+            )
+            cells = active.crossJoin(F.broadcast(offs)).select(
+                "probe_id",
+                "pe",
+                "pn",
+                (F.col("pcell_n") + F.col("dn")).alias("cell_n"),
+                (F.col("pcell_e") + F.col("de")).alias("cell_e"),
+            )
+            cand = pts.join(cells, ["cell_n", "cell_e"]).select(
+                "probe_id",
+                key_col,
+                F.sqrt(
+                    (F.col("e") - F.col("pe")) ** 2 + (F.col("n") - F.col("pn")) ** 2
+                ).alias("dist"),
+            )
+            merged = cand if state is None else state.unionByName(cand)
+            topk = (
+                merged.withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn")
+            )
+            cert = (
+                topk.groupBy("probe_id")
+                .agg(F.count(F.lit(1)).alias("_n"), F.max("dist").alias("_kth"))
+                .where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(r_cap * s)))
+                .select("probe_id")
+            )
+            # freeze certified rows on the executors; carry the rest
+            done.append(
+                topk.join(cert, "probe_id", "left_semi").localCheckpoint(eager=True)
+            )
+            state = topk.join(cert, "probe_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            nxt = active.join(cert, "probe_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hold.append(nxt)
+            n_active = nxt.count()  # loop control: ONE scalar per round
+            active = nxt
+            if n_active == 0:
+                break
+            r_lo, r_hi = r_hi + 1, r_hi * 2
+        else:  # pragma: no cover - max_rings exhausted
+            raise RuntimeError("kNN ring expansion did not certify all probes")
+        out = done[0]
+        for piece in done[1:]:
+            out = out.unionByName(piece)
+        return out.select("probe_id", key_col, "dist")
+    finally:
+        for df in hold:
+            df.unpersist()
 
 
 def _ring_cells(cn: int, ce: int, r_lo: int, r_hi: int) -> list[tuple[int, int]]:

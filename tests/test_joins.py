@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from fgcspark.joins.knn import knn_join
+from fgcspark.joins.knn import knn_join, knn_join_partitioned
 from fgcspark.joins.pip import build_polygon_index, pip_join
 from fgcspark.pipeline import pages_to_points
 
@@ -89,6 +89,26 @@ def test_knn_distances_certified(spark, pages_dir, points):
         true_k = np.sort(d)[4]
         eng_k = got[got["probe_id"] == pid]["dist"].max()
         assert eng_k == pytest.approx(true_k, abs=1e-6)
+
+
+def test_knn_partitioned_matches_golden(spark, pages_dir, points):
+    probes = spark.read.parquet(f"{pages_dir}/probes.parquet")
+    got = knn_join_partitioned(spark, points, probes, k=5).toPandas()
+    want = pd.read_parquet(f"{pages_dir}/knn.parquet")
+    key = lambda d: set(map(tuple, d[["probe_id", "url"]].itertuples(index=False)))
+    assert key(got) == key(want)
+    assert len(got) == len(want)
+
+
+def test_knn_partitioned_multi_ring_matches_driver_path(spark, pages_dir, points):
+    # tiny cells force several frontier rounds; result must equal the
+    # collected-probe implementation row-for-row (same tie rules)
+    probes = spark.read.parquet(f"{pages_dir}/probes.parquet").limit(20)
+    a = knn_join_partitioned(spark, points, probes, k=3, cell_km=10).toPandas()
+    b = knn_join(spark, points, probes, k=3, cell_km=10).toPandas()
+    key = lambda d: set(map(tuple, d[["probe_id", "url"]].itertuples(index=False)))
+    assert key(a) == key(b)
+    assert len(a) == len(b)
 
 
 def test_knn_small_cells_still_exact(spark, pages_dir, points):
