@@ -395,6 +395,42 @@ def _q_streamed_points(spark, sf_dir):
     return spark.read.parquet(out).select("url", "cell_10km")
 
 
+def _q_streamed_sessions(spark, sf_dir):
+    """Streaming gap sessionization (session_window + watermark,
+    AvailableNow drain): per-user session start/end/count, flushed by
+    a far-future close-the-books heartbeat whose own session is
+    dropped. Oracle re-derives the strict-boundary (diff >= gap)
+    session semantics with window SQL."""
+    import pathlib
+    import shutil
+
+    import pandas as pd
+
+    from fgcspark.streaming.sessions import streaming_session_stats
+
+    d = _geo_dir(sf_dir)
+    stage, out, ck = f"{d}/_sess_in", f"{d}/_sess_out", f"{d}/_sess_ck"
+    pathlib.Path(stage).mkdir(parents=True, exist_ok=True)
+    dst = pathlib.Path(stage) / "events.parquet"
+    if not dst.exists():
+        shutil.copy(f"{sf_dir}/events.parquet", dst)
+    hb_path = pathlib.Path(stage) / "zz-heartbeat.parquet"
+    if not hb_path.exists():
+        hb = pd.DataFrame(
+            {
+                "event_id": pd.array([10**12], dtype="int64"),
+                "ts": pd.array([pd.Timestamp("2100-01-01")]).astype("datetime64[us]"),
+                "user_id": pd.array([-1], dtype="int64"),
+                "event_type": ["heartbeat"],
+                "value": [0.0],
+                "props": [""],
+            }
+        )
+        hb.to_parquet(hb_path, index=False)
+    streaming_session_stats(spark, stage, out, ck, gap="30 minutes")
+    return spark.read.parquet(out).where(F.col("user_id") >= 0)
+
+
 def _q_raster_tiles(spark, sf_dir):
     """Raster<->vector tile aggregation (north_rule): per 100 km cell,
     the dense 10x10 raster of 10 km sub-cell counts, emitted in long
@@ -844,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occ_facts_join": _q_occ_facts_join,
         "occ_archive_load": _q_occ_archive_load,
         "streamed_points": _q_streamed_points,
+        "streamed_sessions": _q_streamed_sessions,
         # reference relational semantics
         "facts_pivot": _q_facts_pivot,
         "latest_event_per_user": _q_latest_event,
@@ -1155,6 +1192,29 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, lang FROM {_TR} ORDER BY url LIMIT 50 OFFSET 100"
     )
     sql["streamed_points"] = f"SELECT url, cell_10km FROM {_TR}"
+    # session_window strict boundary: a gap of EXACTLY 30 min starts a
+    # new session (merge iff next_ts < prev_ts + gap)
+    sql["streamed_sessions"] = """
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM d
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """
     _OCC_R = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/occ_rows.parquet')"
     _OCC_F = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/occ_facts.parquet')"
     _FACTS = [
