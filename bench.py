@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "pip_counts",
     "fp_layer_join",
     "knn_k5",
+    "knn_k5_partitioned",
     "dwithin_join",
     "tile_rollup",
     "host_stats",
