@@ -382,6 +382,19 @@ def _q_dwithin(spark, sf_dir):
     return dwithin_join(spark, pts, probes, radius_m=DW_RADIUS_M)
 
 
+def _q_dwithin_partitioned(spark, sf_dir):
+    """Distributed twin: unbounded probe side, offset-superset cover +
+    exact filter; same brute-force golden."""
+    from fgcspark.joins.dwithin import dwithin_join_partitioned
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.synth.pages import DW_RADIUS_M
+
+    d = _geo_dir(sf_dir)
+    pts = pages_to_points(spark, d).select("url", "e", "n")
+    probes = spark.read.parquet(f"{d}/probes.parquet")
+    return dwithin_join_partitioned(spark, pts, probes, radius_m=DW_RADIUS_M)
+
+
 def _q_streamed_points(spark, sf_dir):
     """Structured Streaming ingest (file source, AvailableNow): drains
     the pages dir as micro-batches through the same extract/geometry
@@ -867,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_k5": _q_knn,
         "knn_k5_partitioned": _q_knn_partitioned,
         "dwithin_join": _q_dwithin,
+        "dwithin_join_partitioned": _q_dwithin_partitioned,
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
         "hex_cells_5km": _q_hex_cells,
@@ -1065,6 +1079,9 @@ def oracle_sql() -> dict[str, str]:
                            (nb | (nb << 1)) & 1431655765 AS nb FROM b3)
         SELECT url, (nb << 1) + eb AS zorder FROM b4
     """
+    sql["dwithin_join_partitioned"] = (
+        f"SELECT probe_id, url FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/dwithin.parquet')"
+    )
     sql["dwithin_join"] = (
         f"SELECT probe_id, url FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/dwithin.parquet')"
     )

@@ -51,6 +51,79 @@ def _cover_cells(pe: float, pn: float, radius_m: float, s: float):
     return out
 
 
+def _cover_offsets(radius_m: float, s: float) -> list[tuple[int, int]]:
+    """Probe-independent cell-offset superset: all (dn, de) such that a
+    cell at that offset can contain a point within radius_m of SOME
+    position in the probe's own cell. Min gap between the two closed
+    squares is max(0, |d|-1)*s per axis, so the test is
+    hypot(max(0,|dn|-1), max(0,|de|-1)) * s <= radius_m. The exact
+    metric filter downstream removes the slack, so the join output is
+    identical to the per-probe tight cover."""
+    r = int(np.ceil(radius_m / s)) + 1
+    out = []
+    for dn in range(-r, r + 1):
+        gn = max(0, abs(dn) - 1) * s
+        for de in range(-r, r + 1):
+            ge = max(0, abs(de) - 1) * s
+            if gn * gn + ge * ge <= radius_m * radius_m:
+                out.append((dn, de))
+    return out
+
+
+def dwithin_join_partitioned(
+    spark: SparkSession,
+    points: DataFrame,
+    probes: DataFrame,
+    radius_m: float,
+    cell_km: int = 10,
+    key_col: str = "url",
+) -> DataFrame:
+    """Exact distance-within join with an UNBOUNDED probe side — the
+    distributed twin of dwithin_join (same output, cf. the kNN pair).
+
+    Probes stay a DataFrame: projected to the plane by the same numpy
+    kernel as the page side (knn._probe_en), fanned out to candidate
+    cells by a crossJoin with the broadcast OFFSET table above
+    (O((R/s)^2) rows, probe-count-independent), then a shuffle
+    equi-join on the cell id against the page projection and the same
+    exact squared-distance filter. Nothing is collected; both sides
+    shuffle once on the cell key, and skewed cells split naturally
+    because each probe-cell pair is its own join row."""
+    from fgcspark.joins.knn import _probe_en
+
+    s = float(cell_km * 1000)
+    offs = spark.createDataFrame(
+        _cover_offsets(float(radius_m), s), schema="dn long, de long"
+    )
+    pr = probes.select("probe_id", _probe_en("lon", "lat").alias("_p")).select(
+        "probe_id",
+        F.col("_p.e").alias("pe"),
+        F.col("_p.n").alias("pn"),
+        F.floor(F.col("_p.n") / s).cast("long").alias("pcell_n"),
+        F.floor(F.col("_p.e") / s).cast("long").alias("pcell_e"),
+    )
+    cells = pr.crossJoin(F.broadcast(offs)).select(
+        "probe_id",
+        "pe",
+        "pn",
+        (F.col("pcell_n") + F.col("dn")).alias("cell_n"),
+        (F.col("pcell_e") + F.col("de")).alias("cell_e"),
+    )
+    pts = points.select(
+        key_col,
+        "e",
+        "n",
+        F.floor(F.col("n") / s).cast("long").alias("cell_n"),
+        F.floor(F.col("e") / s).cast("long").alias("cell_e"),
+    )
+    d2 = (F.col("e") - F.col("pe")) ** 2 + (F.col("n") - F.col("pn")) ** 2
+    return (
+        pts.join(cells, ["cell_n", "cell_e"])
+        .where(d2 <= F.lit(float(radius_m) * float(radius_m)))
+        .select("probe_id", key_col)
+    )
+
+
 def dwithin_join(
     spark: SparkSession,
     points: DataFrame,

@@ -10,7 +10,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from fgcspark.joins.dwithin import dwithin_join
+from fgcspark.joins.dwithin import dwithin_join, dwithin_join_partitioned
 from fgcspark.pipeline import pages_to_points, tile_counts
 from fgcspark.synth.pages import DW_RADIUS_M
 from fgcspark.tiles import tile_rollup
@@ -32,6 +32,20 @@ def test_dwithin_matches_golden(spark, pages_dir, points):
     key = lambda d: set(map(tuple, d[["probe_id", "url"]].itertuples(index=False)))
     assert key(got) == key(want)
     assert len(got) == len(want)  # no duplicate pairs either
+
+
+def test_dwithin_partitioned_matches_driver_path(spark, pages_dir, points):
+    # the distributed twin (no probe collect, offset-superset cover +
+    # exact filter) must produce the identical pair set
+    probes = spark.read.parquet(f"{pages_dir}/probes.parquet")
+    key = lambda d: set(map(tuple, d[["probe_id", "url"]].itertuples(index=False)))
+    a = dwithin_join_partitioned(spark, points, probes, DW_RADIUS_M).toPandas()
+    b = dwithin_join(spark, points, probes, DW_RADIUS_M).toPandas()
+    assert key(a) == key(b)
+    assert len(a) == len(b)
+    # and across cell sizes (different offset tables, same exact filter)
+    c = dwithin_join_partitioned(spark, points, probes, DW_RADIUS_M, cell_km=50).toPandas()
+    assert key(c) == key(b)
 
 
 def test_dwithin_cell_size_invariant(spark, pages_dir, points):
