@@ -395,6 +395,35 @@ def _q_dwithin_partitioned(spark, sf_dir):
     return dwithin_join_partitioned(spark, pts, probes, radius_m=DW_RADIUS_M)
 
 
+def _q_iceberg_merge(spark, sf_dir):
+    """Copy-on-write MERGE upsert on the Iceberg-lite layout: documents
+    keyed by doc_id, one update batch that rewrites a tenth of the keys
+    (lang -> 'xx') and inserts shifted new keys. Rebuilt from scratch
+    each run (deterministic); oracle re-derives the upsert with an
+    anti-join union."""
+    import shutil
+
+    from fgcspark.io.iceberg_lite import IcebergLiteTable
+
+    d = _geo_dir(sf_dir)
+    root = f"{d}/_icb_merge"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    t = IcebergLiteTable(root)
+    t.append(docs.repartitionByRange(4, "doc_id"), stat_cols=["doc_id"])
+    ups = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "lang", F.lit("xx")
+    ).unionByName(
+        docs.where(F.col("doc_id") % 97 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    t.merge_upsert(spark, ups, "doc_id")
+    return t.read(spark)
+
+
 def _q_streamed_points(spark, sf_dir):
     """Structured Streaming ingest (file source, AvailableNow): drains
     the pages dir as micro-batches through the same extract/geometry
@@ -895,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occ_archive_load": _q_occ_archive_load,
         "streamed_points": _q_streamed_points,
         "streamed_sessions": _q_streamed_sessions,
+        "iceberg_merge_upsert": _q_iceberg_merge,
         # reference relational semantics
         "facts_pivot": _q_facts_pivot,
         "latest_event_per_user": _q_latest_event,
@@ -1209,6 +1239,19 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, lang FROM {_TR} ORDER BY url LIMIT 50 OFFSET 100"
     )
     sql["streamed_points"] = f"SELECT url, cell_10km FROM {_TR}"
+    sql["iceberg_merge_upsert"] = """
+        WITH ups AS (
+            SELECT doc_id, text, 'xx' AS lang, source, n_chars
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 97 = 0
+        )
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+        UNION ALL
+        SELECT * FROM ups
+    """
     # session_window strict boundary: a gap of EXACTLY 30 min starts a
     # new session (merge iff next_ts < prev_ts + gap)
     sql["streamed_sessions"] = """

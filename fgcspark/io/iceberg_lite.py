@@ -125,19 +125,10 @@ class IcebergLiteTable:
 
     # -- write --------------------------------------------------------------
 
-    def append(self, df: DataFrame, stat_cols: list[str] | None = None) -> int:
-        """Append df as new data files + a new snapshot; returns the new
-        snapshot id. Commit order: data files -> snapshot json -> atomic
-        version-hint flip, so concurrent readers always see a complete
-        snapshot."""
+    def _stage_write(self, df: DataFrame, stat_cols: list[str]) -> list[dict]:
+        """Write df through a staging dir into immutable data files,
+        returning their manifest entries (not yet committed)."""
         self.data_dir.mkdir(parents=True, exist_ok=True)
-        self.meta_dir.mkdir(parents=True, exist_ok=True)
-        prev_id = self.current_snapshot_id()
-        prev = self.snapshot(prev_id) if prev_id is not None else None
-        if prev is not None and prev["schema"] != df.schema.jsonValue():
-            raise ValueError("schema mismatch vs table snapshot")
-        stat_cols = stat_cols or (prev["stat_cols"] if prev else df.columns[:1])
-
         staging = self.root / f"_staging-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(staging))
         new_files = []
@@ -150,20 +141,166 @@ class IcebergLiteTable:
         for leftover in staging.glob("*"):
             leftover.unlink()
         staging.rmdir()
+        return new_files
 
+    def _commit(
+        self,
+        files: list[dict],
+        schema_json: dict,
+        stat_cols: list[str],
+        prev_id: int | None,
+    ) -> int:
+        """Commit a new snapshot over `files`. Order: snapshot json ->
+        atomic version-hint flip, so readers never see a torn commit."""
+        self.meta_dir.mkdir(parents=True, exist_ok=True)
         new_id = (prev_id or 0) + 1
         snap = {
             "snapshot_id": new_id,
             "parent": prev_id,
-            "schema": df.schema.jsonValue(),
+            "schema": schema_json,
             "stat_cols": stat_cols,
-            "files": (prev["files"] if prev else []) + new_files,
+            "files": files,
         }
         (self.meta_dir / f"snap-{new_id}.json").write_text(json.dumps(snap, indent=1))
         tmp = self.meta_dir / "version-hint.tmp"
         tmp.write_text(str(new_id))
         os.replace(tmp, self.meta_dir / "version-hint.text")  # the commit point
         return new_id
+
+    def append(self, df: DataFrame, stat_cols: list[str] | None = None) -> int:
+        """Append df as new data files + a new snapshot; returns the new
+        snapshot id. Commit order: data files -> snapshot json -> atomic
+        version-hint flip, so concurrent readers always see a complete
+        snapshot."""
+        prev_id = self.current_snapshot_id()
+        prev = self.snapshot(prev_id) if prev_id is not None else None
+        if prev is not None and prev["schema"] != df.schema.jsonValue():
+            raise ValueError("schema mismatch vs table snapshot")
+        stat_cols = stat_cols or (prev["stat_cols"] if prev else df.columns[:1])
+        new_files = self._stage_write(df, stat_cols)
+        return self._commit(
+            (prev["files"] if prev else []) + new_files,
+            df.schema.jsonValue(),
+            stat_cols,
+            prev_id,
+        )
+
+    def merge_upsert(
+        self, spark: SparkSession, updates: DataFrame, key_col: str
+    ) -> int:
+        """Copy-on-write MERGE: rows of `updates` replace same-key rows,
+        unmatched keys insert — Iceberg's MERGE INTO semantics in this
+        layout. `updates` must be key-unique (asserted).
+
+        Write amplification is bounded by the manifest stats: files
+        whose [min,max] range for key_col cannot contain an update key
+        carry over untouched; of the range-overlapping candidates, only
+        files that ACTUALLY hold a matching key (one semi-join grouped
+        by input_file_name) are rewritten. At 100 TB a key-clustered
+        table rewrites only the files the keys land in."""
+        prev_id = self.current_snapshot_id()
+        prev = self.snapshot(prev_id)
+        # names + types must match; nullability may differ (updates
+        # often come from a different producer than the base table)
+        want = [(f["name"], f["type"]) for f in prev["schema"]["fields"]]
+        got = [(f["name"], f["type"]) for f in updates.schema.jsonValue()["fields"]]
+        if want != got:
+            raise ValueError("schema mismatch vs table snapshot")
+        stat_cols = prev["stat_cols"]
+        from pyspark.sql import functions as F
+
+        n, nd, klo, khi = updates.agg(
+            F.count(F.lit(1)), F.count_distinct(key_col), F.min(key_col), F.max(key_col)
+        ).first()
+        if n == 0:
+            return prev_id
+        assert n == nd, f"updates must be key-unique on {key_col}: {n} rows, {nd} keys"
+
+        carried, cands = [], []
+        for f in prev["files"]:
+            fmin, fmax = f["min"].get(key_col), f["max"].get(key_col)
+            disjoint = (fmin is not None and fmin > khi) or (
+                fmax is not None and fmax < klo
+            )
+            (carried if disjoint else cands).append(f)
+
+        new_data = updates
+        if cands:
+            base = spark.read.parquet(
+                *[str(self.root / f["path"]) for f in cands]
+            ).withColumn("_f", F.input_file_name())
+            keys = updates.select(key_col)
+            touched = {
+                os.path.basename(r["_f"])
+                for r in base.join(keys, key_col, "left_semi")
+                .select("_f")
+                .distinct()
+                .collect()  # bounded by file count, never by rows
+            }
+            carried += [
+                f for f in cands if os.path.basename(f["path"]) not in touched
+            ]
+            if touched:
+                touched_paths = [
+                    str(self.root / f["path"])
+                    for f in cands
+                    if os.path.basename(f["path"]) in touched
+                ]
+                survivors = (
+                    spark.read.parquet(*touched_paths)
+                    .join(keys, key_col, "left_anti")
+                )
+                new_data = survivors.unionByName(updates)
+        new_files = self._stage_write(new_data, stat_cols)
+        return self._commit(
+            carried + new_files, prev["schema"], stat_cols, prev_id
+        )
+
+    def compact(
+        self, spark: SparkSession, target_bytes: int = 128 << 20
+    ) -> int:
+        """Bin-pack small data files into ~target_bytes files (Iceberg's
+        rewrite_data_files maintenance action). Files already at or
+        above the target carry over; rows and content are unchanged,
+        only the file layout. No-op (returns the current id) when
+        fewer than two small files exist."""
+        prev_id = self.current_snapshot_id()
+        prev = self.snapshot(prev_id)
+        smalls, bigs = [], []
+        for f in prev["files"]:
+            size = os.path.getsize(self.root / f["path"])
+            (smalls if size < target_bytes else bigs).append((f, size))
+        if len(smalls) < 2:
+            return prev_id
+        total = sum(sz for _, sz in smalls)
+        nparts = max(1, round(total / target_bytes))
+        df = spark.read.parquet(*[str(self.root / f["path"]) for f, _ in smalls])
+        new_files = self._stage_write(df.repartition(nparts), prev["stat_cols"])
+        assert sum(f["rows"] for f in new_files) == sum(f[0]["rows"] for f in smalls)
+        return self._commit(
+            [f for f, _ in bigs] + new_files, prev["schema"], prev["stat_cols"], prev_id
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest `keep_last` snapshots and delete data
+        files no kept snapshot references (Iceberg's expire_snapshots).
+        Returns the deleted data-file names. Time travel to expired ids
+        stops working — that is the point."""
+        ids = self.history()
+        keep = set(ids[-max(1, keep_last):])
+        referenced = set()
+        for sid in keep:
+            for f in self.snapshot(sid)["files"]:
+                referenced.add(os.path.basename(f["path"]))
+        deleted = []
+        for sid in ids:
+            if sid not in keep:
+                (self.meta_dir / f"snap-{sid}.json").unlink()
+        for p in self.data_dir.glob("*.parquet"):
+            if p.name not in referenced:
+                p.unlink()
+                deleted.append(p.name)
+        return deleted
 
     # -- read ---------------------------------------------------------------
 

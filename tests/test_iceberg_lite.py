@@ -128,3 +128,76 @@ def test_long_string_stats_truncation_safe(spark, tmp_path):
     assert rec >= edge and len(rec) <= 64
     assert not any(0xD800 <= ord(c) <= 0xDFFF for c in rec)
     assert len(t3.plan_files(pruning={"skey": (edge, edge)})) == 1
+
+
+@pytest.fixture()
+def kv_table(spark, tmp_path):
+    """Key-clustered table: 3 files with disjoint id ranges."""
+    t = IcebergLiteTable(str(tmp_path / "kv_tbl"))
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+    t.append(df.where("id < 100").coalesce(1), stat_cols=["id"])
+    t.append(df.where("id >= 100 and id < 200").coalesce(1))
+    t.append(df.where("id >= 200").coalesce(1))
+    return t
+
+
+def test_merge_upsert_semantics(spark, kv_table):
+    ups = spark.createDataFrame(
+        [(150, -1), (160, -2), (999, -3)], "id long, v long"
+    )
+    sid = kv_table.merge_upsert(spark, ups, "id")
+    got = {r.id: r.v for r in kv_table.read(spark).collect()}
+    assert len(got) == 301  # 300 originals, 2 replaced, 1 inserted
+    assert got[150] == -1 and got[160] == -2 and got[999] == -3
+    assert got[0] == 0 and got[299] == 2990
+    # time travel: the pre-merge snapshot is untouched
+    old = {r.id: r.v for r in kv_table.read(spark, snapshot_id=sid - 1).collect()}
+    assert old[150] == 1500 and 999 not in old
+
+
+def test_merge_rewrites_only_touched_files(spark, kv_table):
+    before = {f["path"] for f in kv_table.snapshot()["files"]}
+    ups = spark.createDataFrame([(150, -1)], "id long, v long")
+    kv_table.merge_upsert(spark, ups, "id")
+    after = {f["path"] for f in kv_table.snapshot()["files"]}
+    # files for ranges [0,100) and [200,300) carried over byte-identical
+    assert len(before & after) == 2
+    assert kv_table.read(spark).count() == 300
+
+
+def test_merge_rejects_duplicate_update_keys(spark, kv_table):
+    ups = spark.createDataFrame([(1, -1), (1, -2)], "id long, v long")
+    with pytest.raises(AssertionError):
+        kv_table.merge_upsert(spark, ups, "id")
+
+
+def test_compact_binpacks_and_preserves_rows(spark, kv_table):
+    n_files = len(kv_table.snapshot()["files"])
+    assert n_files == 3
+    sid = kv_table.compact(spark, target_bytes=1 << 30)  # everything is "small"
+    files = kv_table.snapshot(sid)["files"]
+    assert len(files) == 1
+    assert kv_table.total_rows() == 300
+    got = {r.id: r.v for r in kv_table.read(spark).collect()}
+    assert len(got) == 300 and got[42] == 420
+    # pre-compaction snapshot still readable (old files still on disk)
+    assert kv_table.read(spark, snapshot_id=sid - 1).count() == 300
+
+
+def test_compact_noop_when_files_are_big_enough(spark, kv_table):
+    sid = kv_table.current_snapshot_id()
+    assert kv_table.compact(spark, target_bytes=1) == sid  # nothing small
+
+
+def test_expire_snapshots_drops_unreferenced(spark, kv_table):
+    kv_table.compact(spark, target_bytes=1 << 30)
+    ids = kv_table.history()
+    assert len(ids) == 4
+    deleted = kv_table.expire_snapshots(keep_last=1)
+    assert kv_table.history() == [ids[-1]]
+    assert len(deleted) == 3  # the three pre-compaction files are gone
+    assert kv_table.read(spark).count() == 300
+    with pytest.raises(FileNotFoundError):
+        kv_table.snapshot(ids[0])
