@@ -717,6 +717,16 @@ def _q_quota_sample(spark, sf_dir):
     return quota_sample(docs, "lang", 20, "doc_id").select("doc_id", "lang")
 
 
+def _q_training_shuffle(spark, sf_dir):
+    """Deterministic global training-order permutation of the corpus:
+    rank by (md5_56(doc_id), doc_id) via the scalable 2-pass range
+    numbering — same permutation in any engine or layout."""
+    from fgcspark.sampling import shuffle_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_rank(docs, "doc_id").select("doc_id", "rank")
+
+
 def _q_embed_neardup(spark, sf_dir):
     from fgcspark.sim import embedding_neardup_pairs_vec
 
@@ -946,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_25pct": _q_hash_sample,
         "hash_split_801010": _q_hash_split,
         "quota_sample_lang": _q_quota_sample,
+        "training_shuffle": _q_training_shuffle,
         "embed_neardup": _q_embed_neardup,
         "iceberg_pruned_scan": _q_iceberg_pruned,
         "media_metadata": _q_media_meta,
@@ -1587,6 +1598,11 @@ def oracle_sql() -> dict[str, str]:
     sql["quota_sample_lang"] = f"""
         SELECT doc_id, lang FROM documents
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {_kh}, doc_id) <= 20
+    """
+    sql["training_shuffle"] = f"""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY {_kh}, doc_id) AS rank
+        FROM documents
     """
     sql["embed_neardup"] = """
         WITH v AS (

@@ -101,6 +101,26 @@ def split_sql(weights: dict[str, float], key_expr: str) -> str:
     return " ".join(parts)
 
 
+def shuffle_rank(df: DataFrame, key_col: str, out_col: str = "rank") -> DataFrame:
+    """Deterministic global training-order permutation: rank rows by
+    (md5_56(key), key) — the standard 'shuffle by hash of id' that
+    gives every run, engine, and partition layout the same order.
+
+    Scale shape: delegates to windows.global_row_number (range
+    exchange + per-partition offsets), never a single-task global
+    window. The order key is hash-major with the key itself as a
+    lexicographic tiebreak (zero-padded concatenation), so the
+    permutation is total even across hash collisions."""
+    from fgcspark.windows import global_row_number
+
+    k = F.concat(
+        F.lpad(_key_hash(key_col).cast("string"), 17, "0"),
+        F.lpad(F.col(key_col).cast("string"), 24, "0"),
+    )
+    ranked = global_row_number(df.withColumn("_shufkey", k), "_shufkey", out_col)
+    return ranked.drop("_shufkey")
+
+
 def quota_sample(
     df: DataFrame, group_col: str, n: int, key_col: str
 ) -> DataFrame:

@@ -97,3 +97,19 @@ def test_hash_sample_plan_is_map_only(docs):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_shuffle_rank_is_deterministic_permutation(docs):
+    out = S.shuffle_rank(docs.select("doc_id"), "doc_id").toPandas()
+    assert sorted(out["rank"]) == list(range(1, 401))
+    want = sorted(range(400), key=lambda i: (_h(i), i))
+    got = out.sort_values("rank")["doc_id"].tolist()
+    assert got == want
+    # partition-layout independent
+    out2 = (
+        S.shuffle_rank(docs.select("doc_id").repartition(7), "doc_id")
+        .toPandas()
+        .sort_values("rank")["doc_id"]
+        .tolist()
+    )
+    assert out2 == want
