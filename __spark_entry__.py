@@ -717,6 +717,33 @@ def _q_quota_sample(spark, sf_dir):
     return quota_sample(docs, "lang", 20, "doc_id").select("doc_id", "lang")
 
 
+def _q_canonical_urls(spark, sf_dir):
+    """URL canonicalization over an adversarial corpus derived from
+    doc_id (mixed-case scheme/host, default + explicit ports, empty
+    paths, tracking params, fragments) — both engines construct the
+    SAME url string, then canonicalize with their own twin."""
+    from fgcspark.urlops import canonical_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("http://")),
+        F.lit("Site"),
+        (d % 7).cast("string"),
+        F.lit(".Example"),
+        F.when(d % 3 == 0, F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/P/"), d.cast("string"))
+        ),
+        F.when(d % 2 == 0, F.lit("?utm_source=x&b=2&a=1#frag")).otherwise(
+            F.lit("?z=9&utm_campaign=c&a=1&gclid=g")
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select("doc_id", canonical_url(url).alias("canon"))
+
+
 def _q_training_shuffle(spark, sf_dir):
     """Deterministic global training-order permutation of the corpus:
     rank by (md5_56(doc_id), doc_id) via the scalable 2-pass range
@@ -957,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_801010": _q_hash_split,
         "quota_sample_lang": _q_quota_sample,
         "training_shuffle": _q_training_shuffle,
+        "canonical_urls": _q_canonical_urls,
         "embed_neardup": _q_embed_neardup,
         "iceberg_pruned_scan": _q_iceberg_pruned,
         "media_metadata": _q_media_meta,
@@ -1599,6 +1627,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM documents
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {_kh}, doc_id) <= 20
     """
+    from fgcspark.urlops import canonical_url_sql as _curl_sql
+
+    _mkurl = (
+        "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END,"
+        " 'Site', CAST(doc_id % 7 AS VARCHAR), '.Example',"
+        " CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)"
+        "      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN '' ELSE concat('/P/', CAST(doc_id AS VARCHAR)) END,"
+        " CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1#frag'"
+        "      ELSE '?z=9&utm_campaign=c&a=1&gclid=g' END)"
+    )
+    sql["canonical_urls"] = (
+        f"SELECT doc_id, {_curl_sql(_mkurl)} AS canon FROM documents"
+    )
     sql["training_shuffle"] = f"""
         SELECT doc_id,
                row_number() OVER (ORDER BY {_kh}, doc_id) AS rank

@@ -27,6 +27,74 @@ def norm_host(url: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(h, r"\.$", ""), r"^www\.", "")
 
 
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for dedup scoping and recrawl keys:
+    lowercase scheme + normalized host (norm_host), default ports
+    dropped (http:80 / https:443), empty path -> '/', fragment dropped,
+    tracking params removed (utm_*, gclid, fbclid), remaining query
+    params sorted. Pure codegen: parse_url + split/filter/array_sort
+    higher-order expressions, no Python."""
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = norm_host(url)
+    auth = F.parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    path = F.when((path.isNull()) | (path == ""), "/").otherwise(path)
+    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(""),
+    )
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB/ANSI twin of canonical_url (regex URL parsing instead of
+    parse_url; same rules, same ordering)."""
+    proto = f"lower(regexp_extract({url_expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = f"regexp_extract({url_expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    host = (
+        "regexp_replace(regexp_replace(lower(regexp_replace("
+        + auth
+        + ", ':[0-9]+$', '')), '\\.$', ''), '^www\\.', '')"
+    )
+    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT (({proto} = 'http' AND {port} = '80')"
+        f" OR ({proto} = 'https' AND {port} = '443')))"
+    )
+    path = f"regexp_extract({url_expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    path = f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
+    q = f"coalesce(regexp_extract({url_expr}, '\\?([^#]*)', 1), '')"
+    params = (
+        f"list_sort(list_filter(string_split({q}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)')))"
+    )
+    qs = f"array_to_string({params}, '&')"
+    return (
+        f"concat({proto}, '://', {host}, "
+        f"CASE WHEN {keep_port} THEN concat(':', {port}) ELSE '' END, {path}, "
+        f"CASE WHEN {qs} <> '' THEN concat('?', {qs}) ELSE '' END)"
+    )
+
+
 def host_stats(points: DataFrame, approx: bool = False) -> DataFrame:
     """Per-host crawl stats over the geo-extracted page table
     (needs url, lang, cell_100km): page count, distinct languages,
