@@ -299,12 +299,63 @@ def check_knn(spark, d: str, k: int = 5) -> dict:
     }
 
 
+def _pair_diff(eng, gold) -> dict:
+    j = eng.withColumn("l", F.lit(1)).join(
+        gold.withColumn("r", F.lit(1)), ["probe_id", "url"], "full"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l").isNull().cast("long")).alias("missing"),
+        F.sum(F.col("r").isNull().cast("long")).alias("extra"),
+    ).collect()[0]
+    return {
+        "rows": agg["rows"],
+        "mismatch": agg["missing"] + agg["extra"],
+        "missing": agg["missing"],
+        "extra": agg["extra"],
+    }
+
+
+def check_knn_partitioned(spark, d: str, k: int = 5) -> dict:
+    """The distributed-frontier kNN twin vs the driver-path engine
+    result (itself certified against the exact oracle by check_knn):
+    set equality of (probe_id, url) pairs at scale."""
+    from fgcspark.joins.knn import knn_join, knn_join_partitioned
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, d).select("url", "e", "n").where(
+        "e is not null and n is not null"
+    )
+    probes = spark.read.parquet(f"{d}/probes.parquet")
+    eng = knn_join_partitioned(spark, pts, probes, k=k).select("probe_id", "url")
+    ref = knn_join(spark, pts, probes, k=k).select("probe_id", "url")
+    return _pair_diff(eng, ref)
+
+
+def check_dwithin_partitioned(spark, d: str) -> dict:
+    """Distributed dwithin twin vs the broadcast-cover path (pair-set
+    equality at scale)."""
+    from fgcspark.joins.dwithin import dwithin_join, dwithin_join_partitioned
+    from fgcspark.pipeline import pages_to_points
+    from fgcspark.synth.pages import DW_RADIUS_M
+
+    pts = pages_to_points(spark, d).select("url", "e", "n").where(
+        "e is not null and n is not null"
+    )
+    probes = spark.read.parquet(f"{d}/probes.parquet")
+    eng = dwithin_join_partitioned(spark, pts, probes, radius_m=DW_RADIUS_M)
+    ref = dwithin_join(spark, pts, probes, radius_m=DW_RADIUS_M)
+    return _pair_diff(eng, ref)
+
+
 CHECKS = {
     "text": check_text,
     "tiles": check_tiles,
     "pip": check_pip,
     "fp": check_fp,
     "knn": check_knn,
+    "knn_part": check_knn_partitioned,
+    "dwithin_part": check_dwithin_partitioned,
 }
 
 
