@@ -294,6 +294,36 @@ def _q_s2_cell_counts(spark, sf_dir):
     )
 
 
+def _q_geohash(spark, sf_dir):
+    """Standard geohash (p=6) of each coordinate-carrying page — the
+    geodetic cell key family next to the metric s2lite/hex grids.
+    Zero-Python plan (regex extract + CAST + interleave arithmetic);
+    the oracle CASTs the same source strings and runs the identical
+    formula, so parity is exact (fallback-centroid rows are excluded
+    by contract: their lon/lat never existed as decimal strings)."""
+    from fgcspark.cells.geohash import geohash
+    from fgcspark.extract import with_extracted
+    from fgcspark.pipeline import load_pages
+
+    df = with_extracted(load_pages(spark, _geo_dir(sf_dir)))
+    return df.where(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
+        "url", geohash(F.col("lon"), F.col("lat"), 6).alias("gh6")
+    )
+
+
+def _q_geohash_counts(spark, sf_dir):
+    from fgcspark.cells.geohash import geohash
+    from fgcspark.extract import with_extracted
+    from fgcspark.pipeline import load_pages
+
+    df = with_extracted(load_pages(spark, _geo_dir(sf_dir)))
+    return (
+        df.where(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .groupBy(geohash(F.col("lon"), F.col("lat"), 5).alias("gh5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q_hex_cells(spark, sf_dir):
     """Planar H3-style hex index (pointy-top, 5 km circumradius) over
     the TM35FIN plane — the hexagonal half of the north_star's 'H3/S2
@@ -949,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_join_partitioned": _q_dwithin_partitioned,
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
+        "geohash_p6": _q_geohash,
+        "geohash_counts_p5": _q_geohash_counts,
         "hex_cells_5km": _q_hex_cells,
         "hex_cell_counts": _q_hex_cell_counts,
         "hex_ring_counts": _q_hex_ring_counts,
@@ -1214,6 +1246,18 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["s2_cell_counts_l10"] = (
         f"SELECT {_l10} AS s2_l10, count(*) AS n_docs FROM {_TR} GROUP BY 1"
+    )
+    from fgcspark.cells.geohash import geohash_sql as _gh_sql
+
+    _glon = "CAST(lon_s AS DOUBLE)"
+    _glat = "CAST(lat_s AS DOUBLE)"
+    sql["geohash_p6"] = (
+        f"SELECT url, {_gh_sql(_glon, _glat, 6)} AS gh6 FROM {_TR} "
+        "WHERE lon_s IS NOT NULL AND lat_s IS NOT NULL"
+    )
+    sql["geohash_counts_p5"] = (
+        f"SELECT {_gh_sql(_glon, _glat, 5)} AS gh5, count(*) AS n_docs FROM {_TR} "
+        "WHERE lon_s IS NOT NULL AND lat_s IS NOT NULL GROUP BY 1"
     )
     # hex axial id re-derived in SQL from the module's own SQL twin
     # (identical literals/operator order; divergence surface is only
