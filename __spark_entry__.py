@@ -294,6 +294,39 @@ def _q_s2_cell_counts(spark, sf_dir):
     )
 
 
+def _q_layer_stats(spark, sf_dir):
+    """Planar area + perimeter of every polygon-layer feature (holes
+    subtracted, MULTIPOLYGON parts summed, perimeter over all rings).
+    Distributed parse -> project -> shoelace per partition; oracle is
+    the generator's forward golden through the same kernel path
+    (independently property-tested vs exact rational arithmetic)."""
+    import pandas as pd
+
+    d = _geo_dir(sf_dir)
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+
+    def stats(batches):
+        from fgcspark.crs import tm35fin as tm
+        from fgcspark.geom import kernels as K
+        from fgcspark.geom.wkt import parse_wkt
+
+        for pdf in batches:
+            pids, areas, perims = [], [], []
+            for pid, w in zip(pdf["poly_id"], pdf["wkt"]):
+                g = K.transform_coords(parse_wkt(w), tm.geodetic_to_tm35)
+                a, p = K.area_perimeter(g)
+                pids.append(pid)
+                areas.append(a)
+                perims.append(p)
+            yield pd.DataFrame(
+                {"poly_id": pids, "area_m2": areas, "perimeter_m": perims}
+            )
+
+    return polys.mapInPandas(
+        stats, "poly_id long, area_m2 double, perimeter_m double"
+    )
+
+
 def _q_geohash(spark, sf_dir):
     """Standard geohash (p=6) of each coordinate-carrying page — the
     geodetic cell key family next to the metric s2lite/hex grids.
@@ -979,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_join_partitioned": _q_dwithin_partitioned,
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
+        "layer_area_perimeter": _q_layer_stats,
         "geohash_p6": _q_geohash,
         "geohash_counts_p5": _q_geohash_counts,
         "hex_cells_5km": _q_hex_cells,
@@ -1246,6 +1280,10 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["s2_cell_counts_l10"] = (
         f"SELECT {_l10} AS s2_l10, count(*) AS n_docs FROM {_TR} GROUP BY 1"
+    )
+    sql["layer_area_perimeter"] = (
+        "SELECT poly_id, area_m2, perimeter_m FROM "
+        f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/layer_stats.parquet')"
     )
     from fgcspark.cells.geohash import geohash_sql as _gh_sql
 

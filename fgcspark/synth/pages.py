@@ -580,6 +580,31 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
         out / "polygons.parquet",
     )
 
+    # --- layer area/perimeter golden: computed forward through the
+    # engine's parse -> project -> shoelace path at generation time, so
+    # the Spark-distributed run must reproduce it bit-for-bit (the
+    # shoelace itself is independently property-tested against exact
+    # rational arithmetic in tests/test_area.py) --------------------------
+    from fgcspark.geom import kernels as _K
+    from fgcspark.geom.wkt import parse_wkt as _pw
+
+    st_area, st_perim = [], []
+    for r in poly_records:
+        g = _K.transform_coords(_pw(r["wkt"]), tm.geodetic_to_tm35)
+        a, p = _K.area_perimeter(g)
+        st_area.append(a)
+        st_perim.append(p)
+    pq.write_table(
+        pa.table(
+            {
+                "poly_id": pa.array([r["poly_id"] for r in poly_records], pa.int64()),
+                "area_m2": pa.array(st_area, pa.float64()),
+                "perimeter_m": pa.array(st_perim, pa.float64()),
+            }
+        ),
+        out / "layer_stats.parquet",
+    )
+
     # --- PIP golden (brute force ray cast, even-odd over all rings) ------
     pip_url, pip_pid = [], []
     for pid, rings in enumerate(poly_rings):
@@ -710,8 +735,11 @@ def ensure(scale: str, out_dir: Path | None = None) -> Path:
     # fpjoin.parquet; generation is deterministic, so a forced re-run
     # rewrites identical bytes plus the new golden (small scales only —
     # large scales never carry it, see generate()).
-    if SCALE_ROWS[scale] <= 100_000 and not (
-        (out / "fpjoin.parquet").exists() and (out / "dwithin.parquet").exists()
+    if not (out / "layer_stats.parquet").exists() or (
+        SCALE_ROWS[scale] <= 100_000
+        and not (
+            (out / "fpjoin.parquet").exists() and (out / "dwithin.parquet").exists()
+        )
     ):
         out = generate(scale, out_dir, force=True)
     return out
