@@ -327,6 +327,51 @@ def _q_layer_stats(spark, sf_dir):
     )
 
 
+def _q_layer_simplify(spark, sf_dir):
+    """Douglas-Peucker simplification of the polygon layer (eps=500 m
+    in the projected plane): per feature the simplified WKT plus
+    before/after vertex counts. No oracle_sql entry by design — DP is
+    not SQL-expressible; correctness is property-tested
+    (tests/test_simplify.py: vertex-subset, ring validity, and the
+    every-vertex-within-eps guarantee)."""
+    import pandas as pd
+
+    d = _geo_dir(sf_dir)
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+
+    def simp(batches):
+        from fgcspark.crs import tm35fin as tm
+        from fgcspark.geom import kernels as K
+        from fgcspark.geom.wkt import parse_wkt, to_wkt
+
+        def _nv(g):
+            return sum(len(r) for r in K._rings_of(g))
+
+        for pdf in batches:
+            pids, wkts, nb, na = [], [], [], []
+            for pid, w in zip(pdf["poly_id"], pdf["wkt"]):
+                g = K.transform_coords(parse_wkt(w), tm.geodetic_to_tm35)
+                s = K.simplify(g, eps=500.0)
+                pids.append(pid)
+                wkts.append(to_wkt(s))
+                nb.append(_nv(g))
+                na.append(_nv(s))
+            yield pd.DataFrame(
+                {
+                    "poly_id": pids,
+                    "simplified_wkt": wkts,
+                    "n_vertices_before": nb,
+                    "n_vertices_after": na,
+                }
+            )
+
+    return polys.mapInPandas(
+        simp,
+        "poly_id long, simplified_wkt string, "
+        "n_vertices_before long, n_vertices_after long",
+    )
+
+
 def _q_geohash(spark, sf_dir):
     """Standard geohash (p=6) of each coordinate-carrying page — the
     geodetic cell key family next to the metric s2lite/hex grids.
@@ -1013,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells_l12": _q_s2_cells,
         "s2_cell_counts_l10": _q_s2_cell_counts,
         "layer_area_perimeter": _q_layer_stats,
+        "layer_simplify": _q_layer_simplify,
         "geohash_p6": _q_geohash,
         "geohash_counts_p5": _q_geohash_counts,
         "hex_cells_5km": _q_hex_cells,

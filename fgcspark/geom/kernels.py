@@ -134,6 +134,76 @@ def area_perimeter(g: Geom) -> tuple[float, float]:
     return area, perim
 
 
+def _dp_keep(pts: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask over an open polyline (iterative
+    stack, vectorized point-to-segment distances per span)."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = pts[i], pts[j]
+        seg = b - a
+        mid = pts[i + 1 : j]
+        L2 = float(seg @ seg)
+        if L2 == 0.0:
+            d = np.hypot(mid[:, 0] - a[0], mid[:, 1] - a[1])
+        else:
+            t = np.clip(((mid - a) @ seg) / L2, 0.0, 1.0)
+            proj = a + t[:, None] * seg
+            d = np.hypot(mid[:, 0] - proj[:, 0], mid[:, 1] - proj[:, 1])
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def simplify(g: Geom, eps: float) -> Geom:
+    """Douglas-Peucker simplification (graft addition — the reference
+    has no simplify; GEOS ST_Simplify is the public model). Guarantee:
+    every dropped vertex lies within eps of the simplified outline
+    (property-tested). Rings anchor at their first vertex (the closed
+    ring is treated as an open walk first -> ... -> first, so results
+    are deterministic but not rotation-invariant — documented); rings
+    that would collapse below 3 distinct vertices keep their original
+    coordinates. POINT/MULTIPOINT pass through unchanged."""
+
+    def _line(arr: np.ndarray) -> np.ndarray:
+        arr = arr.reshape(-1, 2)
+        if len(arr) <= 2:
+            return arr
+        return arr[_dp_keep(arr, eps)]
+
+    def _ring(arr: np.ndarray) -> np.ndarray:
+        arr = arr.reshape(-1, 2)
+        closed = len(arr) > 1 and (arr[0] == arr[-1]).all()
+        walk = arr if closed else np.vstack([arr, arr[:1]])
+        out = walk[_dp_keep(walk, eps)]
+        if len(out) < 4:  # fewer than 3 distinct vertices: keep original
+            return arr
+        return out if closed else out[:-1]
+
+    t = g.gtype
+    if t in (POINT, MULTIPOINT) or g.coords is None:
+        return g
+    if t == LINESTRING:
+        return Geom(t, _line(g.coords))
+    if t == MULTILINESTRING:
+        return Geom(t, [_line(a) for a in g.coords])
+    if t == POLYGON:
+        return Geom(t, [_ring(a) for a in g.coords])
+    if t == MULTIPOLYGON:
+        return Geom(t, [[_ring(a) for a in part] for part in g.coords])
+    if t == GEOMETRYCOLLECTION:
+        return Geom(t, [simplify(m, eps) for m in g.coords])
+    return g  # unknown passthrough tags keep their coordinates
+
+
 def bbox(g: Geom):
     """G12 prerequisite: (xmin, ymin, xmax, ymax) or None if empty
     (reference R/finbif_geo_convert.R:303-322)."""
