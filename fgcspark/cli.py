@@ -55,6 +55,15 @@ def cmd_convert(args) -> int:
         gpkg = f"{args.output.rstrip('/')}/{args.basename}_geo.gpkg"
         layers = write_gpkg(df, gpkg, args.basename)
         print(json.dumps({"output": gpkg, "layers": layers}))
+    elif args.format == "geoparquet":
+        # data-scale geo output: distributed, self-describing WKB files
+        from fgcspark.geoparquet import write_geoparquet
+
+        crs_epsg = 3067 if args.crs == "euref" else 4326
+        summary = write_geoparquet(
+            df.select("url", "geo_wkt"), args.output, crs_epsg=crs_epsg
+        )
+        print(json.dumps({k: summary[k] for k in ("n_rows", "n_files", "bbox")}))
     else:
         write_layered(df, args.output)
         print(json.dumps({"output": args.output, "format": "parquet"}))
@@ -182,7 +191,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--geo", default="point", choices=["point", "bbox", "footprint"])
     c.add_argument("--crs", default="wgs84", choices=["wgs84", "euref"])
     c.add_argument(
-        "--format", default="parquet", choices=["parquet", "geojson", "gpkg"]
+        "--format",
+        default="parquet",
+        choices=["parquet", "geojson", "gpkg", "geoparquet"],
     )
     c.add_argument("--basename", default="fgc_geo")
     c.add_argument("--resume", action="store_true", help="chunked resumable run")
