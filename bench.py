@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "tile_counts_10km_salted",
     "s2_cell_counts_l10",
     "hex_cell_counts",
+    "geohash_counts_p5",
     "hex_ring_counts",
     "pip_join",
     "pip_counts",
