@@ -852,6 +852,15 @@ def _q_canonical_urls(spark, sf_dir):
     return docs.select("doc_id", canonical_url(url).alias("canon"))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy per-language sequence packing into 4096-token bins —
+    the training-batch construction step. Oracle: recursive CTE over
+    the same shared token-count expression."""
+    from fgcspark.textops import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=4096)
+
+
 def _q_training_shuffle(spark, sf_dir):
     """Deterministic global training-order permutation of the corpus:
     rank by (md5_56(doc_id), doc_id) via the scalable 2-pass range
@@ -1097,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample_lang": _q_quota_sample,
         "training_shuffle": _q_training_shuffle,
         "canonical_urls": _q_canonical_urls,
+        "pack_sequences": _q_pack_sequences,
         "embed_neardup": _q_embed_neardup,
         "iceberg_pruned_scan": _q_iceberg_pruned,
         "media_metadata": _q_media_meta,
@@ -1773,6 +1783,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                row_number() OVER (ORDER BY {_kh}, doc_id) AS rank
         FROM documents
+    """
+    # greedy packing re-derived with a recursive CTE: same token
+    # expression, same new-bin-iff-overflow rule, same id order
+    sql["pack_sequences"] = """
+        WITH RECURSIVE t AS (
+            SELECT lang, doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS n_tokens,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        p AS (
+            SELECT lang, doc_id, n_tokens, rn,
+                   CAST(1 AS BIGINT) AS bin_id, CAST(n_tokens AS BIGINT) AS acc
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+                   CASE WHEN p.acc + t.n_tokens > 4096 THEN p.bin_id + 1 ELSE p.bin_id END,
+                   CASE WHEN p.acc + t.n_tokens > 4096 THEN t.n_tokens ELSE p.acc + t.n_tokens END
+            FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
+        )
+        SELECT lang, doc_id, n_tokens, bin_id FROM p
     """
     sql["embed_neardup"] = """
         WITH v AS (

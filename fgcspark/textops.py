@@ -405,6 +405,52 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing for LLM training batches: within each
+    group (the shard unit), documents in id order are packed
+    first-fit-sequential into bins holding at most `budget` BPE-ish
+    tokens; a document larger than the budget occupies its own bin.
+    Returns (group, id, n_tokens, bin_id) with bin_id 1-based per group.
+
+    Scale shape: packing is inherently sequential *within* a stream, so
+    the parallelism unit is the group — one applyInPandas task per
+    group after a single shuffle; shard a 100 TB corpus into groups
+    sized for one task (e.g. lang x hash-bucket) and every shard packs
+    independently. The greedy rule (new bin iff acc + tok > budget) is
+    deterministic, so the DuckDB oracle re-derives it with a recursive
+    CTE over the same shared token-count expression."""
+    import pandas as pd
+
+    pat = "[a-z]+|[0-9]|[^a-z0-9 ]"
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+    base = df.select(
+        F.col(group_col), F.col(id_col), toks.alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        b, acc = 0, 0
+        for tok in pdf["n_tokens"]:
+            if b == 0 or acc + tok > budget:
+                b += 1
+                acc = int(tok)
+            else:
+                acc += int(tok)
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf
+
+    schema = f"{group_col} string, {id_col} long, n_tokens int, bin_id long"
+    return base.groupBy(group_col).applyInPandas(pack, schema)
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: 56-bit md5 of whitespace-normalized lower-
     cased text — the exact-dedup key at 100 TB (hash-groupBy shuffles

@@ -55,3 +55,44 @@ def test_token_percentiles_approx_within_rank_bound(spark):
     for p in ("p50", "p90", "p99"):
         assert abs(approx[p] - exact[p]) <= 3.0
     assert exact["p50"] <= exact["p90"] <= exact["p99"]
+
+
+def test_pack_sequences_semantics(spark):
+    from fgcspark.textops import pack_sequences
+
+    rows = [
+        # lang a: tokens 3, 3, 3 with budget 6 -> bins 1,1,2
+        (1, "a b c", "aa"),
+        (2, "d e f", "aa"),
+        (3, "g h i", "aa"),
+        # lang b: an oversized doc gets its own bin; packing continues
+        (4, " ".join(["x"] * 10), "bb"),
+        (5, "y z", "bb"),
+        (6, "q r s t", "bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        (r.lang, r.doc_id): (r.n_tokens, r.bin_id)
+        for r in pack_sequences(df, budget=6).collect()
+    }
+    assert out[("aa", 1)] == (3, 1)
+    assert out[("aa", 2)] == (3, 1)
+    assert out[("aa", 3)] == (3, 2)
+    assert out[("bb", 4)][1] == 1  # oversized: own bin (first)
+    assert out[("bb", 5)] == (2, 2)
+    assert out[("bb", 6)] == (4, 2)
+
+
+def test_pack_sequences_bins_never_overflow_except_oversized(spark):
+    from fgcspark.textops import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, budget=4096).toPandas()
+    g = out.groupby(["lang", "bin_id"])["n_tokens"].agg(["sum", "count"])
+    over = g[g["sum"] > 4096]
+    # a bin may exceed the budget only when it holds a single oversized doc
+    assert (over["count"] == 1).all()
+    # ids within a group are packed in order: bin ids are nondecreasing
+    for _, grp in out.groupby("lang"):
+        s = grp.sort_values("doc_id")["bin_id"]
+        assert (s.diff().dropna() >= 0).all()
