@@ -327,6 +327,39 @@ def _q_layer_stats(spark, sf_dir):
     )
 
 
+def _q_layer_hulls(spark, sf_dir):
+    """Convex hull WKT of every layer feature (monotone chain over the
+    projected vertices). Oracle: the generator's forward golden through
+    the same kernel path (hull properties independently verified in
+    tests/test_hull.py)."""
+    import pandas as pd
+
+    d = _geo_dir(sf_dir)
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+
+    def hulls(batches):
+        from fgcspark.crs import tm35fin as tm
+        from fgcspark.geom import kernels as K
+        from fgcspark.geom.wkt import parse_wkt, to_wkt
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "poly_id": pdf["poly_id"],
+                    "hull_wkt": [
+                        to_wkt(
+                            K.convex_hull(
+                                K.transform_coords(parse_wkt(w), tm.geodetic_to_tm35)
+                            )
+                        )
+                        for w in pdf["wkt"]
+                    ],
+                }
+            )
+
+    return polys.mapInPandas(hulls, "poly_id long, hull_wkt string")
+
+
 def _q_layer_simplify(spark, sf_dir):
     """Douglas-Peucker simplification of the polygon layer (eps=500 m
     in the projected plane): per feature the simplified WKT plus
@@ -1068,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_counts_l10": _q_s2_cell_counts,
         "layer_area_perimeter": _q_layer_stats,
         "layer_simplify": _q_layer_simplify,
+        "layer_hulls": _q_layer_hulls,
         "geohash_p6": _q_geohash,
         "geohash_counts_p5": _q_geohash_counts,
         "hex_cells_5km": _q_hex_cells,
@@ -1336,6 +1370,10 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["s2_cell_counts_l10"] = (
         f"SELECT {_l10} AS s2_l10, count(*) AS n_docs FROM {_TR} GROUP BY 1"
+    )
+    sql["layer_hulls"] = (
+        "SELECT poly_id, hull_wkt FROM "
+        f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/layer_hulls.parquet')"
     )
     sql["layer_area_perimeter"] = (
         "SELECT poly_id, area_m2, perimeter_m FROM "

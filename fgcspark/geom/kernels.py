@@ -204,6 +204,44 @@ def simplify(g: Geom, eps: float) -> Geom:
     return g  # unknown passthrough tags keep their coordinates
 
 
+def convex_hull(g: Geom) -> Geom:
+    """Convex hull of any geometry's vertices (Andrew monotone chain,
+    CCW closed ring): POLYGON result; degenerate inputs (< 3 distinct
+    non-collinear vertices) return a POINT or LINESTRING, like GEOS
+    ST_ConvexHull."""
+    rings = [r.reshape(-1, 2) for r in _rings_of(g) if r.size]
+    if not rings:
+        return Geom(g.gtype, g.coords)
+    pts = np.unique(np.concatenate(rings, axis=0), axis=0)  # sorted (x, y)
+    if len(pts) == 1:
+        return Geom(POINT, pts[0].copy())
+    n = len(pts)
+
+    def _chain(idx_range):
+        out: list[int] = []
+        for i in idx_range:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                cross = (a[0] - o[0]) * (pts[i][1] - o[1]) - (a[1] - o[1]) * (
+                    pts[i][0] - o[0]
+                )
+                if cross <= 0:  # clockwise or collinear: drop
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = _chain(range(n))
+    upper = _chain(range(n - 1, -1, -1))
+    hull_idx = lower[:-1] + upper[:-1]
+    if len(hull_idx) < 3:
+        return Geom(LINESTRING, np.stack([pts[0], pts[-1]]))
+    ring = pts[hull_idx]
+    ring = np.vstack([ring, ring[:1]])  # close
+    return Geom(POLYGON, [ring])
+
+
 def bbox(g: Geom):
     """G12 prerequisite: (xmin, ymin, xmax, ymax) or None if empty
     (reference R/finbif_geo_convert.R:303-322)."""

@@ -604,6 +604,24 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
         ),
         out / "layer_stats.parquet",
     )
+    from fgcspark.geom.wkt import to_wkt as _tw
+
+    pq.write_table(
+        pa.table(
+            {
+                "poly_id": pa.array([r["poly_id"] for r in poly_records], pa.int64()),
+                "hull_wkt": [
+                    _tw(
+                        _K.convex_hull(
+                            _K.transform_coords(_pw(r["wkt"]), tm.geodetic_to_tm35)
+                        )
+                    )
+                    for r in poly_records
+                ],
+            }
+        ),
+        out / "layer_hulls.parquet",
+    )
 
     # --- PIP golden (brute force ray cast, even-odd over all rings) ------
     pip_url, pip_pid = [], []
@@ -735,7 +753,9 @@ def ensure(scale: str, out_dir: Path | None = None) -> Path:
     # fpjoin.parquet; generation is deterministic, so a forced re-run
     # rewrites identical bytes plus the new golden (small scales only —
     # large scales never carry it, see generate()).
-    if not (out / "layer_stats.parquet").exists() or (
+    if not (out / "layer_stats.parquet").exists() or not (
+        out / "layer_hulls.parquet"
+    ).exists() or (
         SCALE_ROWS[scale] <= 100_000
         and not (
             (out / "fpjoin.parquet").exists() and (out / "dwithin.parquet").exists()
