@@ -885,6 +885,16 @@ def _q_canonical_urls(spark, sf_dir):
     return docs.select("doc_id", canonical_url(url).alias("canon"))
 
 
+def _q_oov_rate(spark, sf_dir):
+    """Vocabulary OOV-rate quality score (model-free perplexity
+    stand-in): fraction of each doc's tokens outside the corpus
+    top-1000 vocabulary. Counts + one exact division, so the floats
+    hash-compare across engines."""
+    from fgcspark.textops import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents"), vocab_size=1000)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Greedy per-language sequence packing into 4096-token bins —
     the training-batch construction step. Oracle: recursive CTE over
@@ -1141,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shuffle": _q_training_shuffle,
         "canonical_urls": _q_canonical_urls,
         "pack_sequences": _q_pack_sequences,
+        "oov_rate": _q_oov_rate,
         "embed_neardup": _q_embed_neardup,
         "iceberg_pruned_scan": _q_iceberg_pruned,
         "media_metadata": _q_media_meta,
@@ -1821,6 +1832,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                row_number() OVER (ORDER BY {_kh}, doc_id) AS rank
         FROM documents
+    """
+    sql["oov_rate"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS n FROM toks GROUP BY tok
+                ORDER BY n DESC, tok LIMIT 1000
+            )
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / count(*) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
     """
     # greedy packing re-derived with a recursive CTE: same token
     # expression, same new-bin-iff-overflow rule, same id order

@@ -405,6 +405,49 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-based quality scoring: per document, the fraction of
+    its BPE-ish tokens outside the corpus's top-`vocab_size` vocabulary
+    (count-desc, token-asc tie-break — fully deterministic). High OOV
+    rate flags boilerplate, lang drift and mojibake — the standard
+    model-free stand-in for LM-perplexity filtering.
+
+    Returns (id, n_tokens, n_oov, oov_rate). The rate is one exact
+    division of two counts, so it hash-compares across engines (no
+    float accumulation). Scale shape: one explode + two hash
+    aggregates; the vocabulary is a top-k over the token counts
+    (WindowGroupLimit-free single orderBy-limit on the aggregated
+    table, |tokens| rows not |corpus|) and joins back as a broadcast."""
+    pat = "[a-z]+|[0-9]|[^a-z0-9 ]"
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -96,3 +96,21 @@ def test_pack_sequences_bins_never_overflow_except_oversized(spark):
     for _, grp in out.groupby("lang"):
         s = grp.sort_values("doc_id")["bin_id"]
         assert (s.diff().dropna() >= 0).all()
+
+
+def test_oov_rate_semantics(spark):
+    from fgcspark.textops import oov_rate
+
+    rows = [
+        (1, "aa aa bb"),      # all tokens in a size-2 vocab {aa, bb}
+        (2, "aa zz"),         # zz is OOV
+        (3, "qq ww ee"),      # all OOV
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate) for r in oov_rate(df, vocab_size=2).collect()}
+    assert out[1] == (3, 0, 0.0)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3][1] == out[3][0]  # every token OOV
+    # vocabulary tie-break is deterministic: counts aa=3, bb=1, zz=1,
+    # qq=1, ww=1, ee=1 -> top-2 = {aa, bb} (count desc, token asc)
+    assert out[2] == (2, 1, 0.5)
