@@ -118,3 +118,39 @@ def test_unsupported_crs_rejected(spark, tmp_path):
     df = spark.createDataFrame([("a", "POINT (0 0)")], "url string, geo_wkt string")
     with pytest.raises(Exception):
         write_geoparquet(df, str(tmp_path / "bad"), crs_epsg=2393)
+
+
+def test_zorder_layout_tightens_pruning(spark, pages_dir, tmp_path):
+    """The documented pairing: Z-order-clustered partitions give
+    near-disjoint per-file bboxes, so manifest pruning keeps fewer
+    files for a window query than a spatially-random layout."""
+    from fgcspark.cells.zorder import zorder_key
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, pages_dir).select(
+        "url", F.concat(F.lit("POINT ("), F.col("plon"), F.lit(" "), F.col("plat"), F.lit(")")).alias("geo_wkt"),
+        "e", "n",
+    )
+    n_files = 8
+    rand = pts.select("url", "geo_wkt").repartition(n_files, "url")
+    zord = (
+        pts.withColumn("_z", zorder_key(F.col("e"), F.col("n")))
+        .repartitionByRange(n_files, "_z")
+        .select("url", "geo_wkt")
+    )
+    s_rand = write_geoparquet(rand, str(tmp_path / "rand"), wkt_col="geo_wkt")
+    s_zord = write_geoparquet(zord, str(tmp_path / "zord"), wkt_col="geo_wkt")
+    assert s_rand["n_rows"] == s_zord["n_rows"]
+    bb = s_zord["bbox"]
+    # an eighth-of-extent window
+    win = (
+        bb[0],
+        bb[1],
+        bb[0] + (bb[2] - bb[0]) / 4,
+        bb[1] + (bb[3] - bb[1]) / 2,
+    )
+    kept_rand = len(prune_files(str(tmp_path / "rand"), *win))
+    kept_zord = len(prune_files(str(tmp_path / "zord"), *win))
+    # random layout: every file spans the whole extent -> nothing prunes
+    assert kept_rand == n_files
+    assert kept_zord < n_files  # clustering makes the manifest selective
