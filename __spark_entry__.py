@@ -263,6 +263,19 @@ def _q_fp_join(spark, sf_dir):
     return footprint_join(spark, pages, polys)
 
 
+def _q_fp_join_partitioned(spark, sf_dir):
+    """Distributed-layer twin of fp_layer_join (cell cogroup +
+    reporting-cell dedup, no broadcast); same forward golden."""
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join_partitioned
+    from fgcspark.pipeline import load_pages
+
+    d = _geo_dir(sf_dir)
+    pages = with_extracted(load_pages(spark, d))
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    return footprint_join_partitioned(spark, pages, polys)
+
+
 def _q_pip_counts(spark, sf_dir):
     return (
         _q_pip(spark, sf_dir)
@@ -1103,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_counts": _q_pip_counts,
         "pip_join_partitioned": _q_pip_partitioned,
         "fp_layer_join": _q_fp_join,
+        "fp_layer_join_partitioned": _q_fp_join_partitioned,
         "knn_k5": _q_knn,
         "knn_k5_partitioned": _q_knn_partitioned,
         "dwithin_join": _q_dwithin,
@@ -1360,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
     sql["fp_layer_join"] = (
         f"SELECT url, poly_id FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/fpjoin.parquet')"
     )
+    sql["fp_layer_join_partitioned"] = sql["fp_layer_join"]
     sql["pip_counts"] = (
         f"SELECT poly_id, count(*) AS n_pages FROM "
         f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet') GROUP BY 1"

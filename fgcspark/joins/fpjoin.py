@@ -598,3 +598,139 @@ def _footprint_join_expr(
         ),
     )
     return probe.where(hit).select(key_col, "poly_id")
+
+
+def footprint_join_partitioned(
+    spark: SparkSession,
+    pages: DataFrame,
+    polygons: DataFrame,
+    cell_km: int = 10,
+    key_col: str = "url",
+    fp_col: str = "footprint",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_cell_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact intersects join with a DISTRIBUTED layer side — the
+    footprint counterpart of pip_join_partitioned: same output as
+    footprint_join, no driver-built index, no broadcast requirement.
+
+    Both sides shuffle once on the prefilter cell: footprints are
+    parsed/projected ONCE (the same single-UDF stage as the broadcast
+    path) and replicated per covered cell; the layer arrives as the
+    (cell, poly_id, rings_wkb, bbox) cover table built inside
+    executors (joins/pip.polygon_cover_table), so each polygon's ring
+    payload crosses the wire once per covered cell, never per
+    candidate pair. Inside each cogroup cell the exact
+    geom_intersects_rings predicate runs on bbox-overlapping pairs;
+    multi-cell duplicates are suppressed by the same reporting-cell
+    rule as the broadcast path (only the cell holding the bbox
+    intersection's lower-left corner emits a pair), so no distinct
+    shuffle exists anywhere.
+
+    Hot cells are sub-split exactly like pip_join_partitioned: cells
+    with more than max_cell_rows replicated footprint rows salt their
+    probes by key hash and replicate the cover per salt — each pair
+    still meets exactly once (the footprint exists in one salt group).
+    """
+    from fgcspark.joins.pip import hot_cell_factors, polygon_cover_table
+
+    s = cell_km * 1000
+    cover = polygon_cover_table(polygons, cell_km)
+    probe = (
+        pages.select(
+            key_col,
+            _fp_project_wkb(F.col(fp_col), F.col(lon_col), F.col(lat_col)).alias("_g"),
+        )
+        .select(key_col, "_g.*")
+        .where(F.col("wkb").isNotNull())
+        .withColumn(
+            "cell_n",
+            F.explode(F.sequence(F.floor(F.col("y0") / s), F.floor(F.col("y1") / s))),
+        )
+        .withColumn(
+            "cell_e",
+            F.explode(F.sequence(F.floor(F.col("x0") / s), F.floor(F.col("x1") / s))),
+        )
+    )
+    # persist: the hot-cell factor aggregate and the cogroup both read
+    # the parsed projection — without the cache the parse UDF runs twice
+    from pyspark.storagelevel import StorageLevel
+
+    probe = probe.persist(StorageLevel.MEMORY_AND_DISK)
+
+    group_cols = ["cell_n", "cell_e"]
+    factors = hot_cell_factors(spark, probe.select("cell_n", "cell_e"), max_cell_rows)
+    if factors is not None:
+        probe = (
+            probe.join(F.broadcast(factors), ["cell_n", "cell_e"], "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("m").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(key_col)), F.col("m")).cast("int")
+                ),
+            )
+            .drop("m")
+        )
+        cover = (
+            cover.join(F.broadcast(factors), ["cell_n", "cell_e"], "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("m"), F.lit(1)) - 1)
+                ),
+            )
+            .drop("m")
+        )
+        group_cols = ["cell_n", "cell_e", "salt"]
+
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType()), T.StructField("poly_id", T.LongType())]
+    )
+
+    def refine(key, fp_pdf, cov_pdf):
+        empty = pd.DataFrame(
+            {key_col: pd.Series(dtype="object"), "poly_id": pd.Series(dtype="int64")}
+        )
+        if len(fp_pdf) == 0 or len(cov_pdf) == 0:
+            return empty
+        cn, ce = int(key[0]), int(key[1])
+        fx0 = fp_pdf["x0"].to_numpy()
+        fy0 = fp_pdf["y0"].to_numpy()
+        fx1 = fp_pdf["x1"].to_numpy()
+        fy1 = fp_pdf["y1"].to_numpy()
+        keys = fp_pdf[key_col].to_numpy()
+        wkbs = fp_pdf["wkb"]
+        parts_cache: dict[int, list] = {}
+        out_k, out_p = [], []
+        for row in cov_pdf.itertuples(index=False):
+            ov = (fx0 <= row.x1) & (fx1 >= row.x0) & (fy0 <= row.y1) & (fy1 >= row.y0)
+            if not ov.any():
+                continue
+            # reporting-cell dedup (vectorized): the cell of the bbox
+            # intersection's lower-left corner must be THIS cell
+            rep = (
+                np.floor(np.maximum(fy0, row.y0) / s).astype("int64") == cn
+            ) & (np.floor(np.maximum(fx0, row.x0) / s).astype("int64") == ce)
+            sel = np.nonzero(ov & rep)[0]
+            if not sel.size:
+                continue
+            rings = list(from_wkb(bytes(row.rings_wkb)).coords)
+            for i in sel:
+                parts = parts_cache.get(i)
+                if parts is None:
+                    parts = []
+                    _flatten_parts(from_wkb(bytes(wkbs.iloc[int(i)])), parts)
+                    parts_cache[int(i)] = parts
+                if geom_intersects_rings(parts, rings):
+                    out_k.append(keys[i])
+                    out_p.append(int(row.poly_id))
+        if not out_k:
+            return empty
+        return pd.DataFrame({key_col: out_k, "poly_id": out_p})
+
+    return (
+        probe.groupBy(*group_cols)
+        .cogroup(cover.groupBy(*group_cols))
+        .applyInPandas(refine, out_schema)
+    )

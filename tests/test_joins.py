@@ -257,6 +257,42 @@ def test_fp_join_matches_golden(spark, pages_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_fp_partitioned_matches_golden_and_broadcast(spark, pages_dir):
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join_partitioned
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, pages_dir))
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    got = (
+        footprint_join_partitioned(spark, pages, polys)
+        .toPandas()
+        .sort_values(["url", "poly_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.read_parquet(f"{pages_dir}/fpjoin.parquet")
+        .sort_values(["url", "poly_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_fp_partitioned_hot_cell_split_is_exact(spark, pages_dir):
+    # a tiny threshold forces every cell through the salted sub-split;
+    # the pair set must not change
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join_partitioned
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, pages_dir)).limit(400)
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    key = lambda d: sorted(map(tuple, d[["url", "poly_id"]].itertuples(index=False)))
+    a = footprint_join_partitioned(spark, pages, polys).toPandas()
+    b = footprint_join_partitioned(spark, pages, polys, max_cell_rows=5).toPandas()
+    assert key(a) == key(b)
+
+
 def test_fp_refine_backends_bit_identical(spark, pages_dir):
     """The nested-lambda expression refine and the WKB/numpy refine
     evaluate identical float predicates — identical row sets."""
