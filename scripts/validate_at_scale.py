@@ -332,6 +332,24 @@ def check_knn_partitioned(spark, d: str, k: int = 5) -> dict:
     return _pair_diff(eng, ref)
 
 
+def check_fp_partitioned(spark, d: str) -> dict:
+    """Distributed footprint-intersects twin vs the broadcast path
+    (itself certified against the brute-force oracle by check_fp)."""
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join, footprint_join_partitioned
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, d))
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    eng = footprint_join_partitioned(spark, pages, polys).select(
+        F.col("url").alias("probe_id"), F.col("poly_id").alias("url")
+    )
+    ref = footprint_join(spark, pages, polys).select(
+        F.col("url").alias("probe_id"), F.col("poly_id").alias("url")
+    )
+    return _pair_diff(eng, ref)
+
+
 def check_dwithin_partitioned(spark, d: str) -> dict:
     """Distributed dwithin twin vs the broadcast-cover path (pair-set
     equality at scale)."""
@@ -355,6 +373,7 @@ CHECKS = {
     "fp": check_fp,
     "knn": check_knn,
     "knn_part": check_knn_partitioned,
+    "fp_part": check_fp_partitioned,
     "dwithin_part": check_dwithin_partitioned,
 }
 
