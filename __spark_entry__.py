@@ -898,6 +898,14 @@ def _q_canonical_urls(spark, sf_dir):
     return docs.select("doc_id", canonical_url(url).alias("canon"))
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicated word 2-/3-gram
+    fractions per doc, all inside codegen (no explode, no Python)."""
+    from fgcspark.textops import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def _q_oov_rate(spark, sf_dir):
     """Vocabulary OOV-rate quality score (model-free perplexity
     stand-in): fraction of each doc's tokens outside the corpus
@@ -1166,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,
         "pack_sequences": _q_pack_sequences,
         "oov_rate": _q_oov_rate,
+        "repetition_signals": _q_repetition,
         "embed_neardup": _q_embed_neardup,
         "iceberg_pruned_scan": _q_iceberg_pruned,
         "media_metadata": _q_media_meta,
@@ -1847,6 +1856,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                row_number() OVER (ORDER BY {_kh}, doc_id) AS rank
         FROM documents
+    """
+    sql["repetition_signals"] = """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        g AS (
+            SELECT doc_id, len(words) AS n_words,
+                   list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                                  i -> concat_ws(' ', words[i], words[i + 1])) AS g2,
+                   list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                                  i -> concat_ws(' ', words[i], words[i + 1], words[i + 2])) AS g3
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CASE WHEN len(g2) <= 0 THEN 0.0
+                    ELSE (len(g2) - len(list_distinct(g2))) / len(g2) END AS dup_2gram_frac,
+               CASE WHEN len(g3) <= 0 THEN 0.0
+                    ELSE (len(g3) - len(list_distinct(g3))) / len(g3) END AS dup_3gram_frac
+        FROM g
     """
     sql["oov_rate"] = """
         WITH toks AS (

@@ -405,6 +405,44 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021 §A1.1 heuristics re-expressed): the fraction of duplicated
+    word 2-grams and 3-grams in each document. Highly repetitive docs
+    (boilerplate, keyword stuffing, decode loops) score near 1.
+
+    Pure whole-stage-codegen: split -> transform to n-gram arrays ->
+    size/array_distinct arithmetic, no explode and no Python. Each
+    fraction is a single exact division of two counts, so values
+    hash-compare across engines."""
+    words = F.split(F.col(text_col), " ")
+    nw = F.size(words)
+
+    def ngrams(n: int):
+        return F.transform(
+            F.slice(words, 1, F.greatest(nw - (n - 1), F.lit(0))),
+            lambda w, i: F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(n)]
+            ),
+        )
+
+    def dup_frac(n: int):
+        arr = ngrams(n)
+        total = F.size(arr)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            (total - F.size(F.array_distinct(arr))) / total
+        )
+
+    return df.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
 def oov_rate(
     df: DataFrame,
     vocab_size: int = 1000,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from fgcspark.textops import token_percentiles
 
@@ -114,3 +115,31 @@ def test_oov_rate_semantics(spark):
     # vocabulary tie-break is deterministic: counts aa=3, bb=1, zz=1,
     # qq=1, ww=1, ee=1 -> top-2 = {aa, bb} (count desc, token asc)
     assert out[2] == (2, 1, 0.5)
+
+
+def test_repetition_signals(spark):
+    from fgcspark.textops import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> 3 dup of 5
+        (2, "w x y z"),            # all distinct
+        (3, "r r r r"),            # 2-grams: rr rr rr -> 2/3; 3-grams 1/2
+        (4, "solo"),               # no n-grams at all -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].dup_2gram_frac == pytest.approx(3 / 5)
+    assert out[2].dup_2gram_frac == 0.0 and out[2].dup_3gram_frac == 0.0
+    assert out[3].dup_2gram_frac == pytest.approx(2 / 3)
+    assert out[3].dup_3gram_frac == pytest.approx(1 / 2)
+    assert out[4].dup_2gram_frac == 0.0 and out[4].n_words == 1
+
+
+def test_repetition_plan_is_pure_codegen(spark):
+    from fgcspark.textops import repetition_signals
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Generate" not in plan  # no explode
