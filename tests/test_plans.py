@@ -142,3 +142,20 @@ def test_bbox_pipeline_single_udf_stage(spark, pages_dir):
     df = geo_pipeline(spark, pages_dir, geo="bbox", crs="wgs84").select("url", "geo_wkt")
     plan = plan_of(df)
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
+def test_fp_partitioned_is_cogroup_no_broadcast_layer(spark, pages_dir):
+    """The distributed footprint join must cogroup on the cell with NO
+    broadcast of the layer and no driver-built index (the broadcast
+    path remains available separately). Hot-cell factors may broadcast
+    the tiny aggregate-only factor table, so the assertion targets the
+    cover payload: the plan joins via FlatMapCoGroupsInPandas."""
+    from fgcspark.extract import with_extracted
+    from fgcspark.joins.fpjoin import footprint_join_partitioned
+    from fgcspark.pipeline import load_pages
+
+    pages = with_extracted(load_pages(spark, pages_dir)).limit(50)
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    df = footprint_join_partitioned(spark, pages, polys)
+    plan = plan_of(df)
+    assert "FlatMapCoGroupsInPandas" in plan
