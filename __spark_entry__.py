@@ -925,6 +925,15 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=4096)
 
 
+def _q_balanced_sample(spark, sf_dir):
+    """Mixture rebalancing: deterministic per-language hash rates
+    flatten the language distribution toward the smallest group."""
+    from fgcspark.sampling import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return balanced_sample(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
 def _q_training_shuffle(spark, sf_dir):
     """Deterministic global training-order permutation of the corpus:
     rank by (md5_56(doc_id), doc_id) via the scalable 2-pass range
@@ -1170,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_25pct": _q_hash_sample,
         "hash_split_801010": _q_hash_split,
         "quota_sample_lang": _q_quota_sample,
+        "balanced_sample_lang": _q_balanced_sample,
         "training_shuffle": _q_training_shuffle,
         "canonical_urls": _q_canonical_urls,
         "pack_sequences": _q_pack_sequences,
@@ -1852,6 +1862,14 @@ def oracle_sql() -> dict[str, str]:
     sql["canonical_urls"] = (
         f"SELECT doc_id, {_curl_sql(_mkurl)} AS canon FROM documents"
     )
+    sql["balanced_sample_lang"] = f"""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT min(n) AS mn FROM c),
+        r AS (SELECT lang, CAST(mn AS DOUBLE) / n AS rate FROM c, m)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE CAST({_kh} AS DOUBLE) < r.rate * 72057594037927936.0
+    """
     sql["training_shuffle"] = f"""
         SELECT doc_id,
                row_number() OVER (ORDER BY {_kh}, doc_id) AS rank

@@ -101,6 +101,31 @@ def split_sql(weights: dict[str, float], key_expr: str) -> str:
     return " ".join(parts)
 
 
+def balanced_sample(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Mixture rebalancing: downsample every group toward the smallest
+    group's size by a deterministic per-group hash rate
+    (rate_g = min_count / n_g, keep iff md5_56(key) < rate_g * 2^56) —
+    the standard recipe for flattening a skewed language/source mix
+    before training. Expected per-group kept counts are equal;
+    selection is exact, engine-independent, and partition-invariant.
+
+    Scale shape: one map-side-combined count aggregate (|groups| rows),
+    one 1-row min, a broadcast join of the tiny rate table, then a
+    map-only filter — the base table never shuffles."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_m"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        group_col,
+        (F.col("_m").cast("double") / F.col("_n")).alias("_rate"),
+    )
+    thr = F.col("_rate") * F.lit(float(HASH_SPACE))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(_key_hash(key_col).cast("double") < thr)
+        .drop("_rate")
+    )
+
+
 def shuffle_rank(df: DataFrame, key_col: str, out_col: str = "rank") -> DataFrame:
     """Deterministic global training-order permutation: rank rows by
     (md5_56(key), key) — the standard 'shuffle by hash of id' that

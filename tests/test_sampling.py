@@ -113,3 +113,19 @@ def test_shuffle_rank_is_deterministic_permutation(docs):
         .tolist()
     )
     assert out2 == want
+
+
+def test_balanced_sample_flattens_groups(spark):
+    # skewed mix: 300 'big', 60 'mid', 30 'small'
+    rows = [(i, "big") for i in range(300)]
+    rows += [(1000 + i, "mid") for i in range(60)]
+    rows += [(2000 + i, "small") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = S.balanced_sample(df, "lang", "doc_id").toPandas()
+    counts = out.groupby("lang")["doc_id"].count()
+    # smallest group kept whole (rate 1.0); others near its size
+    assert counts["small"] == 30
+    assert 15 <= counts["big"] <= 45 and 15 <= counts["mid"] <= 45
+    # deterministic membership: re-running selects the same rows
+    out2 = S.balanced_sample(df.repartition(9), "lang", "doc_id").toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
