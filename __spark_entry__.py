@@ -898,6 +898,14 @@ def _q_canonical_urls(spark, sf_dir):
     return docs.select("doc_id", canonical_url(url).alias("canon"))
 
 
+def _q_top_tokens(spark, sf_dir):
+    """Per-language top-20 token vocabulary (deterministic ranking,
+    WindowGroupLimit over the aggregated table)."""
+    from fgcspark.textops import top_tokens_per_group
+
+    return top_tokens_per_group(_t(spark, sf_dir, "documents"), k=20)
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style repetition filters: duplicated word 2-/3-gram
     fractions per doc, all inside codegen (no explode, no Python)."""
@@ -1185,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "oov_rate": _q_oov_rate,
         "repetition_signals": _q_repetition,
+        "top_tokens_per_lang": _q_top_tokens,
         "embed_neardup": _q_embed_neardup,
         "iceberg_pruned_scan": _q_iceberg_pruned,
         "media_metadata": _q_media_meta,
@@ -1874,6 +1883,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                row_number() OVER (ORDER BY {_kh}, doc_id) AS rank
         FROM documents
+    """
+    sql["top_tokens_per_lang"] = """
+        WITH toks AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS tok
+            FROM documents
+        ),
+        c AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok)
+        SELECT lang, tok, CAST(n AS BIGINT) AS n,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS INT) AS rank
+        FROM c
+        QUALIFY rank <= 20
     """
     sql["repetition_signals"] = """
         WITH w AS (

@@ -16,7 +16,7 @@ Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_MOD = 2147483647  # 2^31 - 1, keeps a*h + b inside int64
@@ -402,6 +402,37 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             "n_bpeish"
         ),
         F.size(F.split(F.col(text_col), " ")).alias("n_ws"),
+    )
+
+
+def top_tokens_per_group(
+    df: DataFrame,
+    k: int = 20,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary mining: the k most frequent BPE-ish tokens
+    of each group with deterministic (count desc, token asc) ranking —
+    the corpus-inspection step behind per-language vocab and stopword
+    lists. Returns (group, tok, n, rank).
+
+    Scale shape: explode feeds a map-side-combined (group, tok) count;
+    the rank filter over the AGGREGATED table plans as WindowGroupLimit
+    (per-task top-k heaps before the exchange), so the shuffle after
+    aggregation carries O(groups x k x tasks) rows, not the vocabulary."""
+    pat = "[a-z]+|[0-9]|[^a-z0-9 ]"
+    toks = df.select(
+        F.col(group_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 

@@ -143,3 +143,26 @@ def test_repetition_plan_is_pure_codegen(spark):
         repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Generate" not in plan  # no explode
+
+
+def test_top_tokens_per_group(spark):
+    from fgcspark.textops import top_tokens_per_group
+
+    rows = [
+        (1, "a a a b b c", "x"),
+        (2, "b c c", "x"),
+        (3, "z z y", "w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = top_tokens_per_group(df, k=2).collect()
+    by = {(r.lang, r.rank): (r.tok, r.n) for r in out}
+    # lang x: a=3, b=3, c=3 -> ties broken token-asc: a then b
+    assert by[("x", 1)] == ("a", 3)
+    assert by[("x", 2)] == ("b", 3)
+    assert by[("w", 1)] == ("z", 2)
+    assert by[("w", 2)] == ("y", 1)
+    # plan: rank filter pushes a partial top-k before the exchange
+    plan = (
+        top_tokens_per_group(df, k=2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
