@@ -214,6 +214,14 @@ def write_geoparquet(
         )
 
     files = [r.asDict() for r in df.mapInPandas(_write_part, MANIFEST_SCHEMA).collect()]
+    # idempotent rewrite: a previous write with MORE partitions leaves
+    # part files this run did not produce; a plain directory read would
+    # return their rows while the manifest omits them. Remove every
+    # part-*.parquet not in this run's manifest before committing it.
+    produced = {Path(f["path"]).name for f in files}
+    for stale in out.glob("part-*.parquet"):
+        if stale.name not in produced:
+            stale.unlink()
     xs = [f for f in files if f["minx"] is not None]
     summary = {
         "version": GEOPARQUET_VERSION,

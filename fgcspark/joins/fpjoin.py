@@ -610,6 +610,7 @@ def footprint_join_partitioned(
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_cell_rows: int = 2_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact intersects join with a DISTRIBUTED layer side — the
     footprint counterpart of pip_join_partitioned: same output as
@@ -658,6 +659,7 @@ def footprint_join_partitioned(
     from pyspark.storagelevel import StorageLevel
 
     probe = probe.persist(StorageLevel.MEMORY_AND_DISK)
+    probe_cached = probe  # hold: released in the finally below
 
     group_cols = ["cell_n", "cell_e"]
     factors = hot_cell_factors(spark, probe.select("cell_n", "cell_e"), max_cell_rows)
@@ -729,8 +731,19 @@ def footprint_join_partitioned(
             return empty
         return pd.DataFrame({key_col: out_k, "poly_id": out_p})
 
-    return (
+    res = (
         probe.groupBy(*group_cols)
         .cogroup(cover.groupBy(*group_cols))
         .applyInPandas(refine, out_schema)
     )
+    if not materialize:
+        # caller gets the lazy cogroup plan (plan inspection /
+        # composition) and owns releasing the cached probe projection
+        return res
+    # materialize the (small) pair result, then release the cached probe
+    # projection — mirrors joins/knn.py's hold/finally pattern so
+    # repeated calls in a long session don't accumulate cached blocks
+    try:
+        return res.localCheckpoint(eager=True)
+    finally:
+        probe_cached.unpersist()

@@ -111,18 +111,22 @@ def balanced_sample(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
 
     Scale shape: one map-side-combined count aggregate (|groups| rows),
     one 1-row min, a broadcast join of the tiny rate table, then a
-    map-only filter — the base table never shuffles."""
+    map-only filter — the base table never shuffles.
+
+    NULL groups: groupBy counts NULL as its own group and the rate join
+    is null-safe (eqNullSafe), so NULL-group rows are sampled at their
+    own rate like any other group instead of being silently dropped."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     min_n = counts.agg(F.min("_n").alias("_m"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
-        group_col,
+        F.col(group_col).alias("_g"),
         (F.col("_m").cast("double") / F.col("_n")).alias("_rate"),
     )
     thr = F.col("_rate") * F.lit(float(HASH_SPACE))
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(F.broadcast(rates), df[group_col].eqNullSafe(rates["_g"]))
         .where(_key_hash(key_col).cast("double") < thr)
-        .drop("_rate")
+        .drop("_rate", "_g")
     )
 
 
@@ -133,14 +137,15 @@ def shuffle_rank(df: DataFrame, key_col: str, out_col: str = "rank") -> DataFram
 
     Scale shape: delegates to windows.global_row_number (range
     exchange + per-partition offsets), never a single-task global
-    window. The order key is hash-major with the key itself as a
-    lexicographic tiebreak (zero-padded concatenation), so the
-    permutation is total even across hash collisions."""
+    window. The order key is a struct of (hash, key): struct ordering
+    is hash-major with the key itself (native type, arbitrary length)
+    as the tiebreak, so the permutation is total even across hash
+    collisions — no fixed-width padding that could truncate long
+    string keys."""
     from fgcspark.windows import global_row_number
 
-    k = F.concat(
-        F.lpad(_key_hash(key_col).cast("string"), 17, "0"),
-        F.lpad(F.col(key_col).cast("string"), 24, "0"),
+    k = F.struct(
+        _key_hash(key_col).alias("h"), F.col(key_col).alias("k")
     )
     ranked = global_row_number(df.withColumn("_shufkey", k), "_shufkey", out_col)
     return ranked.drop("_shufkey")

@@ -114,6 +114,21 @@ def test_rewrite_is_idempotent(spark, geo_df, tmp_path):
     assert read_geoparquet(spark, str(out)).count() == s1["n_rows"]
 
 
+def test_rewrite_with_fewer_partitions_removes_stale_parts(spark, geo_df, tmp_path):
+    """Rewriting into the same directory with FEWER partitions must not
+    leave stale part files behind: a plain directory read would return
+    their rows while the manifest omits them (silent wrong rows)."""
+    out = tmp_path / "gp5"
+    write_geoparquet(geo_df, str(out), wkt_col="geo_wkt")  # 4 partitions
+    s2 = write_geoparquet(
+        geo_df.coalesce(1), str(out), wkt_col="geo_wkt"
+    )
+    on_disk = sorted(p.name for p in out.glob("part-*.parquet"))
+    in_manifest = sorted(f["path"].rsplit("/", 1)[-1] for f in s2["files"])
+    assert on_disk == in_manifest
+    assert read_geoparquet(spark, str(out)).count() == s2["n_rows"]
+
+
 def test_unsupported_crs_rejected(spark, tmp_path):
     df = spark.createDataFrame([("a", "POINT (0 0)")], "url string, geo_wkt string")
     with pytest.raises(Exception):

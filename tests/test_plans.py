@@ -156,6 +156,6 @@ def test_fp_partitioned_is_cogroup_no_broadcast_layer(spark, pages_dir):
 
     pages = with_extracted(load_pages(spark, pages_dir)).limit(50)
     polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
-    df = footprint_join_partitioned(spark, pages, polys)
+    df = footprint_join_partitioned(spark, pages, polys, materialize=False)
     plan = plan_of(df)
     assert "FlatMapCoGroupsInPandas" in plan

@@ -115,6 +115,32 @@ def test_shuffle_rank_is_deterministic_permutation(docs):
     assert out2 == want
 
 
+def test_shuffle_rank_long_string_keys_total_order(spark):
+    """Keys longer than any fixed pad width must still give a total
+    order: the tiebreak is a struct of (hash, key), not a padded
+    concat that would truncate long strings to a prefix order."""
+    # colliding 56-bit md5 prefixes are unreachable in a test, so the
+    # assertion is the full (hash, key) order over long keys whose
+    # first 24+ chars are identical (a prefix order would tie them)
+    keys = [("x" * 40 + f"{i:04d}") for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    out = S.shuffle_rank(df, "key", "rank").toPandas()
+    want = sorted(keys, key=lambda k: (_h(k), k))
+    assert out.sort_values("rank")["key"].tolist() == want
+
+
+def test_balanced_sample_keeps_null_group(spark):
+    """NULL is a group like any other: groupBy counts it, the rate join
+    is null-safe, so NULL-group rows are sampled at their own rate
+    instead of silently dropped."""
+    rows = [(i, "fi") for i in range(40)] + [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = S.balanced_sample(df, "lang", "doc_id").toPandas()
+    # both groups have size 40 == min -> rate 1.0: nothing is dropped
+    assert len(out) == 80
+    assert out["lang"].isna().sum() == 40
+
+
 def test_balanced_sample_flattens_groups(spark):
     # skewed mix: 300 'big', 60 'mid', 30 'small'
     rows = [(i, "big") for i in range(300)]
