@@ -925,9 +925,11 @@ def _q_oov_rate(spark, sf_dir):
 
 
 def _q_pack_sequences(spark, sf_dir):
-    """Greedy per-language sequence packing into 4096-token bins —
-    the training-batch construction step. Oracle: recursive CTE over
-    the same shared token-count expression."""
+    """Greedy sequence packing into 4096-token bins per
+    (lang, md5-hash-bucket shard) stream — the training-batch
+    construction step with bounded per-task state. Oracle: recursive
+    CTE partitioned by the same (lang, shard) over the same shared
+    token-count expression."""
     from fgcspark.textops import pack_sequences
 
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=4096)
@@ -1936,25 +1938,30 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY t.doc_id
     """
     # greedy packing re-derived with a recursive CTE: same token
-    # expression, same new-bin-iff-overflow rule, same id order
+    # expression, same md5-56 hash-bucket shard, same
+    # new-bin-iff-overflow rule, same id order per (lang, shard) stream
     sql["pack_sequences"] = """
         WITH RECURSIVE t AS (
-            SELECT lang, doc_id,
+            SELECT lang,
+                   CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 16 AS INT) AS shard,
+                   doc_id,
                    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS n_tokens,
-                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                   row_number() OVER (PARTITION BY lang,
+                       CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 16
+                       ORDER BY doc_id) AS rn
             FROM documents
         ),
         p AS (
-            SELECT lang, doc_id, n_tokens, rn,
+            SELECT lang, shard, doc_id, n_tokens, rn,
                    CAST(1 AS BIGINT) AS bin_id, CAST(n_tokens AS BIGINT) AS acc
             FROM t WHERE rn = 1
             UNION ALL
-            SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+            SELECT t.lang, t.shard, t.doc_id, t.n_tokens, t.rn,
                    CASE WHEN p.acc + t.n_tokens > 4096 THEN p.bin_id + 1 ELSE p.bin_id END,
                    CASE WHEN p.acc + t.n_tokens > 4096 THEN t.n_tokens ELSE p.acc + t.n_tokens END
-            FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
+            FROM p JOIN t ON t.lang = p.lang AND t.shard = p.shard AND t.rn = p.rn + 1
         )
-        SELECT lang, doc_id, n_tokens, bin_id FROM p
+        SELECT lang, shard, doc_id, n_tokens, bin_id FROM p
     """
     sql["embed_neardup"] = """
         WITH v AS (

@@ -523,26 +523,38 @@ def pack_sequences(
     group_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shards: int = 16,
 ) -> DataFrame:
     """Greedy sequence packing for LLM training batches: within each
-    group (the shard unit), documents in id order are packed
+    (group, shard) stream, documents in id order are packed
     first-fit-sequential into bins holding at most `budget` BPE-ish
     tokens; a document larger than the budget occupies its own bin.
-    Returns (group, id, n_tokens, bin_id) with bin_id 1-based per group.
+    Returns (group, shard, id, n_tokens, bin_id) with bin_id 1-based
+    per (group, shard).
 
-    Scale shape: packing is inherently sequential *within* a stream, so
-    the parallelism unit is the group — one applyInPandas task per
-    group after a single shuffle; shard a 100 TB corpus into groups
-    sized for one task (e.g. lang x hash-bucket) and every shard packs
-    independently. The greedy rule (new bin iff acc + tok > budget) is
-    deterministic, so the DuckDB oracle re-derives it with a recursive
-    CTE over the same shared token-count expression."""
+    Scale shape: packing is inherently sequential *within* a stream,
+    so the parallelism unit must be bounded — one task per raw group
+    would hold an entire language's corpus at 100 TB. The stream unit
+    is therefore (group, shard) where shard = md5_56(id) % n_shards: a
+    deterministic, engine-independent hash bucket, so no task ever
+    holds more than ~1/n_shards of a group and n_shards scales the
+    parallelism without changing any stream's content. The greedy rule
+    (new bin iff acc + tok > budget) is deterministic per stream, so
+    the DuckDB oracle re-derives it with a recursive CTE partitioned
+    by (group, shard) over the same shared token-count expression."""
     import pandas as pd
 
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     pat = "[a-z]+|[0-9]|[^a-z0-9 ]"
     toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
     base = df.select(
-        F.col(group_col), F.col(id_col), toks.alias("n_tokens")
+        F.col(group_col),
+        F.pmod(md5_56(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(id_col),
+        toks.alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -559,8 +571,11 @@ def pack_sequences(
         pdf["bin_id"] = bins
         return pdf
 
-    schema = f"{group_col} string, {id_col} long, n_tokens int, bin_id long"
-    return base.groupBy(group_col).applyInPandas(pack, schema)
+    schema = (
+        f"{group_col} string, shard int, {id_col} long, "
+        "n_tokens int, bin_id long"
+    )
+    return base.groupBy(group_col, "shard").applyInPandas(pack, schema)
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

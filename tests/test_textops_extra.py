@@ -72,9 +72,11 @@ def test_pack_sequences_semantics(spark):
         (6, "q r s t", "bb"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # n_shards=1: a single stream per lang, so the exact greedy bin
+    # assignments below are deterministic regardless of shard hashing
     out = {
         (r.lang, r.doc_id): (r.n_tokens, r.bin_id)
-        for r in pack_sequences(df, budget=6).collect()
+        for r in pack_sequences(df, budget=6, n_shards=1).collect()
     }
     assert out[("aa", 1)] == (3, 1)
     assert out[("aa", 2)] == (3, 1)
@@ -89,14 +91,49 @@ def test_pack_sequences_bins_never_overflow_except_oversized(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = pack_sequences(docs, budget=4096).toPandas()
-    g = out.groupby(["lang", "bin_id"])["n_tokens"].agg(["sum", "count"])
+    g = out.groupby(["lang", "shard", "bin_id"])["n_tokens"].agg(["sum", "count"])
     over = g[g["sum"] > 4096]
     # a bin may exceed the budget only when it holds a single oversized doc
     assert (over["count"] == 1).all()
-    # ids within a group are packed in order: bin ids are nondecreasing
-    for _, grp in out.groupby("lang"):
+    # ids within a stream are packed in order: bin ids are nondecreasing
+    for _, grp in out.groupby(["lang", "shard"]):
         s = grp.sort_values("doc_id")["bin_id"]
         assert (s.diff().dropna() >= 0).all()
+
+
+def test_pack_sequences_shards_bound_per_task_state(spark):
+    """The scale contract: one applyInPandas task holds one
+    (group, shard) stream, never a whole group. A single-language
+    corpus with many docs must spread over all shards, every shard
+    holding well under the whole group, and the shard assignment must
+    be the deterministic md5-56 bucket (engine-independent)."""
+    import hashlib
+
+    from fgcspark.textops import pack_sequences
+
+    n = 800
+    rows = [(i, "w " * (1 + i % 7), "fi") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = pack_sequences(df, budget=64, n_shards=16).toPandas()
+    assert len(out) == n
+    sizes = out.groupby("shard")["doc_id"].count()
+    assert len(sizes) == 16  # all shards populated at 800 docs
+    assert sizes.max() < n / 4  # no shard holds anything near the group
+    # shard is the md5-56 bucket of the id, bit-identical to the oracle
+    for r in out.itertuples(index=False):
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:14], 16)
+        assert r.shard == h % 16
+    # per-stream packing matches an independent greedy re-derivation
+    for (_, _), grp in out.groupby(["lang", "shard"]):
+        grp = grp.sort_values("doc_id")
+        b, acc, want = 0, 0, []
+        for tok in grp["n_tokens"]:
+            if b == 0 or acc + tok > 64:
+                b, acc = b + 1, int(tok)
+            else:
+                acc += int(tok)
+            want.append(b)
+        assert grp["bin_id"].tolist() == want
 
 
 def test_oov_rate_semantics(spark):
