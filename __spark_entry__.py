@@ -310,34 +310,14 @@ def _q_s2_cell_counts(spark, sf_dir):
 def _q_layer_stats(spark, sf_dir):
     """Planar area + perimeter of every polygon-layer feature (holes
     subtracted, MULTIPOLYGON parts summed, perimeter over all rings).
-    Distributed parse -> project -> shoelace per partition; oracle is
-    the generator's forward golden through the same kernel path
-    (independently property-tested vs exact rational arithmetic)."""
-    import pandas as pd
+    Batch parse -> one-call batch projection -> shoelace per feature
+    (fgcspark.geom.layer_analytics); oracle is the generator's forward
+    golden through the same kernel path (independently property-tested
+    vs exact rational arithmetic)."""
+    from fgcspark.geom.layer_analytics import layer_stats
 
     d = _geo_dir(sf_dir)
-    polys = spark.read.parquet(f"{d}/polygons.parquet")
-
-    def stats(batches):
-        from fgcspark.crs import tm35fin as tm
-        from fgcspark.geom import kernels as K
-        from fgcspark.geom.wkt import parse_wkt
-
-        for pdf in batches:
-            pids, areas, perims = [], [], []
-            for pid, w in zip(pdf["poly_id"], pdf["wkt"]):
-                g = K.transform_coords(parse_wkt(w), tm.geodetic_to_tm35)
-                a, p = K.area_perimeter(g)
-                pids.append(pid)
-                areas.append(a)
-                perims.append(p)
-            yield pd.DataFrame(
-                {"poly_id": pids, "area_m2": areas, "perimeter_m": perims}
-            )
-
-    return polys.mapInPandas(
-        stats, "poly_id long, area_m2 double, perimeter_m double"
-    )
+    return layer_stats(spark.read.parquet(f"{d}/polygons.parquet"))
 
 
 def _q_layer_hulls(spark, sf_dir):
@@ -345,77 +325,23 @@ def _q_layer_hulls(spark, sf_dir):
     projected vertices). Oracle: the generator's forward golden through
     the same kernel path (hull properties independently verified in
     tests/test_hull.py)."""
-    import pandas as pd
+    from fgcspark.geom.layer_analytics import layer_hulls
 
     d = _geo_dir(sf_dir)
-    polys = spark.read.parquet(f"{d}/polygons.parquet")
-
-    def hulls(batches):
-        from fgcspark.crs import tm35fin as tm
-        from fgcspark.geom import kernels as K
-        from fgcspark.geom.wkt import parse_wkt, to_wkt
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "poly_id": pdf["poly_id"],
-                    "hull_wkt": [
-                        to_wkt(
-                            K.convex_hull(
-                                K.transform_coords(parse_wkt(w), tm.geodetic_to_tm35)
-                            )
-                        )
-                        for w in pdf["wkt"]
-                    ],
-                }
-            )
-
-    return polys.mapInPandas(hulls, "poly_id long, hull_wkt string")
+    return layer_hulls(spark.read.parquet(f"{d}/polygons.parquet"))
 
 
 def _q_layer_simplify(spark, sf_dir):
     """Douglas-Peucker simplification of the polygon layer (eps=500 m
     in the projected plane): per feature the simplified WKT plus
-    before/after vertex counts. No oracle_sql entry by design — DP is
-    not SQL-expressible; correctness is property-tested
-    (tests/test_simplify.py: vertex-subset, ring validity, and the
-    every-vertex-within-eps guarantee)."""
-    import pandas as pd
+    before/after vertex counts. Oracle: the generator's forward golden
+    (layer_simplify.parquet) through the same kernel path; DP itself is
+    additionally property-tested (tests/test_simplify.py: vertex-subset,
+    ring validity, every-vertex-within-eps)."""
+    from fgcspark.geom.layer_analytics import layer_simplify
 
     d = _geo_dir(sf_dir)
-    polys = spark.read.parquet(f"{d}/polygons.parquet")
-
-    def simp(batches):
-        from fgcspark.crs import tm35fin as tm
-        from fgcspark.geom import kernels as K
-        from fgcspark.geom.wkt import parse_wkt, to_wkt
-
-        def _nv(g):
-            return sum(len(r) for r in K._rings_of(g))
-
-        for pdf in batches:
-            pids, wkts, nb, na = [], [], [], []
-            for pid, w in zip(pdf["poly_id"], pdf["wkt"]):
-                g = K.transform_coords(parse_wkt(w), tm.geodetic_to_tm35)
-                s = K.simplify(g, eps=500.0)
-                pids.append(pid)
-                wkts.append(to_wkt(s))
-                nb.append(_nv(g))
-                na.append(_nv(s))
-            yield pd.DataFrame(
-                {
-                    "poly_id": pids,
-                    "simplified_wkt": wkts,
-                    "n_vertices_before": nb,
-                    "n_vertices_after": na,
-                }
-            )
-
-    return polys.mapInPandas(
-        simp,
-        "poly_id long, simplified_wkt string, "
-        "n_vertices_before long, n_vertices_after long",
-    )
+    return layer_simplify(spark.read.parquet(f"{d}/polygons.parquet"), eps=500.0)
 
 
 def _q_geohash(spark, sf_dir):
@@ -1434,6 +1360,10 @@ def oracle_sql() -> dict[str, str]:
     sql["layer_area_perimeter"] = (
         "SELECT poly_id, area_m2, perimeter_m FROM "
         f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/layer_stats.parquet')"
+    )
+    sql["layer_simplify"] = (
+        "SELECT poly_id, simplified_wkt, n_vertices_before, n_vertices_after "
+        f"FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/layer_simplify.parquet')"
     )
     from fgcspark.cells.geohash import geohash_sql as _gh_sql
 

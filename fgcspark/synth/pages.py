@@ -623,6 +623,32 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
         out / "layer_hulls.parquet",
     )
 
+    # --- layer simplify golden: Douglas-Peucker (eps=500 m projected)
+    # forward through the same kernel path the Spark stage uses; DP
+    # properties (vertex subset, within-eps) are independently tested
+    # in tests/test_simplify.py ------------------------------------------
+    def _nv(g):
+        return sum(len(r) for r in _K._rings_of(g))
+
+    sp_wkt, sp_nb, sp_na = [], [], []
+    for r in poly_records:
+        g = _K.transform_coords(_pw(r["wkt"]), tm.geodetic_to_tm35)
+        s = _K.simplify(g, eps=500.0)
+        sp_wkt.append(_tw(s))
+        sp_nb.append(_nv(g))
+        sp_na.append(_nv(s))
+    pq.write_table(
+        pa.table(
+            {
+                "poly_id": pa.array([r["poly_id"] for r in poly_records], pa.int64()),
+                "simplified_wkt": sp_wkt,
+                "n_vertices_before": pa.array(sp_nb, pa.int64()),
+                "n_vertices_after": pa.array(sp_na, pa.int64()),
+            }
+        ),
+        out / "layer_simplify.parquet",
+    )
+
     # --- PIP golden (brute force ray cast, even-odd over all rings) ------
     pip_url, pip_pid = [], []
     for pid, rings in enumerate(poly_rings):
@@ -755,7 +781,7 @@ def ensure(scale: str, out_dir: Path | None = None) -> Path:
     # large scales never carry it, see generate()).
     if not (out / "layer_stats.parquet").exists() or not (
         out / "layer_hulls.parquet"
-    ).exists() or (
+    ).exists() or not (out / "layer_simplify.parquet").exists() or (
         SCALE_ROWS[scale] <= 100_000
         and not (
             (out / "fpjoin.parquet").exists() and (out / "dwithin.parquet").exists()
