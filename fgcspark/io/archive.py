@@ -250,6 +250,29 @@ def _read_lite_tsv_file(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def drop_all_na_columns(
+    df: DataFrame, candidates: list[str] | None = None
+) -> DataFrame:
+    """finbif's `drop_na` / `drop_facts_na` semantics (public
+    `finbif_occurrence_load` options; the reference's API passes BOTH
+    as FALSE per chunk, api.R:158-162, precisely so chunk schemas stay
+    stable): remove the columns whose every value is NA, optionally
+    restricted to `candidates`.
+
+    Cost: ONE aggregate pass — per-column max(isNotNull), map-side
+    combined booleans, |cols| bits of driver result — so the switch is
+    a single extra scan regardless of table size."""
+    cols = [c for c in (candidates if candidates is not None else df.columns)
+            if c in df.columns]
+    if not cols:
+        return df
+    flags = df.agg(
+        *[F.max(F.col(c).isNotNull()).alias(f"_{i}") for i, c in enumerate(cols)]
+    ).collect()[0]
+    drop = [c for i, c in enumerate(cols) if not flags[f"_{i}"]]
+    return df.drop(*drop) if drop else df
+
+
 def read_citable_zip(
     spark: SparkSession,
     zip_path: str,
@@ -257,13 +280,22 @@ def read_citable_zip(
     dwc: bool = True,
     deselect: list[str] | None = None,
     extract_dir: str | None = None,
+    drop_na: bool = False,
+    drop_facts_na: bool | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Load one citable archive -> (rows DataFrame, readme text).
 
     Mirrors the reference load path (R/finbif_geo_convert.R:78-94):
     column select (deselect list), fact pivot + join per level, name
     sanitisation, optional Darwin Core names. Fact columns keep their
-    (sanitised) fact names, appearing after the row columns."""
+    (sanitised) fact names, appearing after the row columns.
+
+    `drop_na` / `drop_facts_na` twin finbif_occurrence_load's options
+    (the chunked API replay passes both FALSE, api.R:158-162):
+    drop_na=True removes every all-NA column; drop_facts_na (defaults
+    to drop_na, as in finbif) restricts the check to the pivoted fact
+    columns — a whitelisted fact absent from the archive pivots to an
+    all-NA column, which this switch removes."""
     facts = FACTS if facts is None else facts
     deselect = DESELECT if deselect is None else deselect
     with zipfile.ZipFile(zip_path) as zf:
@@ -286,6 +318,7 @@ def read_citable_zip(
     keep = [c for c in rows.columns if c not in deselect]
     rows = rows.select(*keep)
 
+    fact_cols: list[str] = []
     for level, names in facts.items():
         member, key_short = _FACT_MEMBER[level]
         if member not in extracted or not names:
@@ -301,10 +334,15 @@ def read_citable_zip(
         rows = join_facts(
             rows, fdf, names, key, order_col="Value", broadcast=(level != "record")
         )
+        fact_cols.extend(names)
     if dwc:
         rows = rows.toDF(*translate_columns(rows.columns, dwc=True))
     else:
         rows = rows.toDF(*sanitise_nms(rows.columns))
+    if drop_na:
+        rows = drop_all_na_columns(rows)
+    elif drop_facts_na:
+        rows = drop_all_na_columns(rows, sanitise_nms(fact_cols))
     return rows, readme
 
 
@@ -313,12 +351,14 @@ def read_lite_tsv(
     tsv_path: str,
     dwc: bool = True,
     deselect: list[str] | None = None,
+    drop_na: bool = False,
 ) -> DataFrame:
     """Load a lite-download TSV (the reference's other accepted input,
     inst/tinytest/laji-data*.tsv — 58/59 translated-header columns, no
     fact members). Header translation via LITE_VARS, deselect and
     Darwin Core renames as for the citable shape; extra columns pass
-    through name-sanitised, so both column counts load unchanged."""
+    through name-sanitised, so both column counts load unchanged.
+    drop_na twins finbif_occurrence_load's all-NA column removal."""
     deselect = DESELECT if deselect is None else deselect
     rows = _read_lite_tsv_file(spark, tsv_path)
     short = [LITE_VARS.get(c, c) for c in rows.columns]
@@ -326,6 +366,8 @@ def read_lite_tsv(
     rows = rows.select(*[c for c in rows.columns if c not in deselect])
     if dwc:
         rows = rows.toDF(*sanitise_nms([TO_DWC.get(c, c) for c in rows.columns]))
+    if drop_na:
+        rows = drop_all_na_columns(rows)
     return rows
 
 

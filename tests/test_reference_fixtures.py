@@ -197,3 +197,45 @@ def test_convert_occurrences_by_id_from_cache(spark):
     )
     assert name == "HBF.53254" and readme and "HBF.53254" in readme
     assert df.count() == 9707
+
+
+def test_drop_na_and_drop_facts_na_column_switches(spark, tmp_path):
+    """S1 option twins (api.R:158-162 passes drop_na=FALSE,
+    drop_facts_na=FALSE per chunk; semantics are finbif
+    finbif_occurrence_load's all-NA COLUMN removal). On HBF.53254:
+    23 raw row columns are entirely NA, and 4 whitelisted facts
+    ('Havainnon laatu', 'Museo...', 'Vesistöalue', 'Pesintätulos')
+    are absent from the fact members so their pivoted columns are
+    all-NA — drop_na removes all 27, drop_facts_na only the 4."""
+    from fgcspark.io.archive import read_citable_zip
+
+    base, _ = read_citable_zip(
+        spark, str(FIX / "HBF.53254.zip"), extract_dir=str(tmp_path / "a")
+    )
+    dropped, _ = read_citable_zip(
+        spark,
+        str(FIX / "HBF.53254.zip"),
+        extract_dir=str(tmp_path / "b"),
+        drop_na=True,
+    )
+    facts_only, _ = read_citable_zip(
+        spark,
+        str(FIX / "HBF.53254.zip"),
+        extract_dir=str(tmp_path / "c"),
+        drop_facts_na=True,
+    )
+    n_base = len(base.columns)
+    assert len(dropped.columns) == n_base - 27
+    assert len(facts_only.columns) == n_base - 4
+    gone_facts = {
+        "Havainnon_laatu",
+        "Museo_johon_lajista_kerätty_näyte_on_talletettu",
+        "Vesistöalue",
+        "Pesintätulos",
+    }
+    assert gone_facts <= set(base.columns) - set(facts_only.columns)
+    # populated facts survive both switches
+    assert "Havainnon_määrän_yksikkö" in dropped.columns
+    assert "Sijainnin_tarkkuusluokka" in facts_only.columns
+    # row count untouched: these are column switches, not row filters
+    assert dropped.count() == 9707
