@@ -1048,60 +1048,27 @@ def _q_event_sessions(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract queries, ordered for the driver's 50-query correctness cap.
+
+    The external gate checks at most the first 50 entries, so ordering IS
+    coverage.  Rotation policy (one slot-window per round):
+
+    * round 4 (this file): the 29 training-data ops that got no driver row
+      in CORRECTNESS_r03 come first, followed by every query whose engine
+      code changed since the r3 gate ran (layer analytics moved into
+      fgcspark.geom + new layer_simplify hard oracle; archive drop_na
+      options; fpjoin cache release; sampling ordering fixes) and the
+      flagship spatial-join family.
+    * round 5: move the trailing 29 (r3-green, unchanged) back to the
+      front so every query gets a hard driver row at least every two
+      rounds.
+
+    Everything past slot 50 is still verified each round by the local gate
+    (``scripts/check_contract.py`` runs ALL entries through the same
+    DuckDB-oracle diff).
+    """
     return {
-        # geo engine (pages dataset; oracles = generator truth parquets)
-        "pages_extract_text": _q_extract,
-        "pages_points_wkt": _q_points,
-        "pages_footprint_types": _q_footprint_types,
-        "pages_bbox_wkt": _q_bbox,
-        "pages_tiles": _q_tiles,
-        "tile_counts_10km": _q_tile_counts,
-        "tile_counts_10km_salted": _q_tile_counts_salted,
-        "pages_cells_jvm": _q_pages_cells_jvm,
-        "tile_rollup": _q_tile_rollup,
-        "host_stats": _q_host_stats,
-        "pages_zorder": _q_zorder,
-        "bbox_range_join": _q_bbox_range_join,
-        "cell_ring_counts": _q_cell_ring_counts,
-        "top_hosts_per_cell": _q_top_hosts_per_cell,
-        "lang_cell_rollup": _q_lang_cell_rollup,
-        "pip_join": _q_pip,
-        "pip_counts": _q_pip_counts,
-        "pip_join_partitioned": _q_pip_partitioned,
-        "fp_layer_join": _q_fp_join,
-        "fp_layer_join_partitioned": _q_fp_join_partitioned,
-        "knn_k5": _q_knn,
-        "knn_k5_partitioned": _q_knn_partitioned,
-        "dwithin_join": _q_dwithin,
-        "dwithin_join_partitioned": _q_dwithin_partitioned,
-        "s2_cells_l12": _q_s2_cells,
-        "s2_cell_counts_l10": _q_s2_cell_counts,
-        "layer_area_perimeter": _q_layer_stats,
-        "layer_simplify": _q_layer_simplify,
-        "layer_hulls": _q_layer_hulls,
-        "geohash_p6": _q_geohash,
-        "geohash_counts_p5": _q_geohash_counts,
-        "hex_cells_5km": _q_hex_cells,
-        "hex_cell_counts": _q_hex_cell_counts,
-        "hex_ring_counts": _q_hex_ring_counts,
-        "chunked_resume": _q_chunked_resume,
-        "raster_tiles_100km": _q_raster_tiles,
-        "raster_dense_100km": _q_raster_dense,
-        "raster_roundtrip_100km": _q_raster_roundtrip,
-        "chunk_window": _q_chunk_window,
-        "occ_facts_join": _q_occ_facts_join,
-        "occ_archive_load": _q_occ_archive_load,
-        "streamed_points": _q_streamed_points,
-        "streamed_sessions": _q_streamed_sessions,
-        "iceberg_merge_upsert": _q_iceberg_merge,
-        # reference relational semantics
-        "facts_pivot": _q_facts_pivot,
-        "latest_event_per_user": _q_latest_event,
-        "events_asof_join": _q_events_asof,
-        "event_sessions": _q_event_sessions,
-        "lineitem_agg": _q_lineitem_agg,
-        "revenue_by_nation": _q_revenue_by_nation,
-        # training-data ops
+        # --- slots 1-29: training-data ops (no driver row in r3) ---
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash,
@@ -1131,6 +1098,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_brute": _q_ann_topk,
         "ann_topk_ivf": _q_ann_ivf,
         "embed_neardup_ivf": _q_embed_neardup_ivf,
+        # --- slots 30-50: code changed since the r3 gate, then flagship joins
+        "layer_simplify": _q_layer_simplify,
+        "layer_area_perimeter": _q_layer_stats,
+        "layer_hulls": _q_layer_hulls,
+        "occ_archive_load": _q_occ_archive_load,
+        "occ_facts_join": _q_occ_facts_join,
+        "fp_layer_join_partitioned": _q_fp_join_partitioned,
+        "pip_join": _q_pip,
+        "pip_counts": _q_pip_counts,
+        "pip_join_partitioned": _q_pip_partitioned,
+        "fp_layer_join": _q_fp_join,
+        "knn_k5": _q_knn,
+        "knn_k5_partitioned": _q_knn_partitioned,
+        "dwithin_join": _q_dwithin,
+        "dwithin_join_partitioned": _q_dwithin_partitioned,
+        "pages_extract_text": _q_extract,
+        "pages_points_wkt": _q_points,
+        "pages_tiles": _q_tiles,
+        "tile_counts_10km": _q_tile_counts,
+        "pages_cells_jvm": _q_pages_cells_jvm,
+        "chunked_resume": _q_chunked_resume,
+        "facts_pivot": _q_facts_pivot,
+        # --- slots 51+: r3-green and unchanged; rotate to the front in r5
+        "pages_footprint_types": _q_footprint_types,
+        "pages_bbox_wkt": _q_bbox,
+        "tile_counts_10km_salted": _q_tile_counts_salted,
+        "tile_rollup": _q_tile_rollup,
+        "host_stats": _q_host_stats,
+        "pages_zorder": _q_zorder,
+        "bbox_range_join": _q_bbox_range_join,
+        "cell_ring_counts": _q_cell_ring_counts,
+        "top_hosts_per_cell": _q_top_hosts_per_cell,
+        "lang_cell_rollup": _q_lang_cell_rollup,
+        "s2_cells_l12": _q_s2_cells,
+        "s2_cell_counts_l10": _q_s2_cell_counts,
+        "geohash_p6": _q_geohash,
+        "geohash_counts_p5": _q_geohash_counts,
+        "hex_cells_5km": _q_hex_cells,
+        "hex_cell_counts": _q_hex_cell_counts,
+        "hex_ring_counts": _q_hex_ring_counts,
+        "raster_tiles_100km": _q_raster_tiles,
+        "raster_dense_100km": _q_raster_dense,
+        "raster_roundtrip_100km": _q_raster_roundtrip,
+        "chunk_window": _q_chunk_window,
+        "streamed_points": _q_streamed_points,
+        "streamed_sessions": _q_streamed_sessions,
+        "iceberg_merge_upsert": _q_iceberg_merge,
+        "latest_event_per_user": _q_latest_event,
+        "events_asof_join": _q_events_asof,
+        "event_sessions": _q_event_sessions,
+        "lineitem_agg": _q_lineitem_agg,
+        "revenue_by_nation": _q_revenue_by_nation,
     }
 
 
