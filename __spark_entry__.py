@@ -824,6 +824,59 @@ def _q_canonical_urls(spark, sf_dir):
     return docs.select("doc_id", canonical_url(url).alias("canon"))
 
 
+def _q_latest_crawl(spark, sf_dir):
+    """Cross-snapshot recrawl dedup: adversarial urls built from doc_id
+    so that case/port/tracking-param variants COLLIDE on the canonical
+    key (d%97 path + d%4 query-class make ~2 snapshots per canonical at
+    sf0.01); newest deterministic crawl_ts wins, url breaks ties. Both
+    engines construct the identical url + ts columns."""
+    from fgcspark.urlops import latest_crawl
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("http://")),
+        F.lit("Site"),
+        (d % 7).cast("string"),
+        F.lit(".Example"),
+        F.when(d % 3 == 0, F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.concat(F.lit("/p/"), (d % 97).cast("string")),
+        F.when(d % 4 == 0, F.lit("?utm_source=x&b=2&a=1#frag"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        url.alias("url"), (d * 37 % 100000).cast("long").alias("crawl_ts")
+    )
+    return latest_crawl(pages, ts_col="crawl_ts")
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    """New-batch-vs-corpus dedup: docs with doc_id % 5 == 0 play the
+    existing corpus, the rest are the fresh batch; batch rows whose
+    content fingerprint already occurs in the corpus are dropped."""
+    from fgcspark.textops import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 == 0)
+    batch = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(batch, corpus).select("doc_id")
+
+
+def _q_pip_anti(spark, sf_dir):
+    """Pages whose point lands in NO polygon of the layer (out-of-layer
+    geotag QA) — complement of pip_join, one aggregate, no anti join of
+    two full tables."""
+    from fgcspark.joins.pip import pip_anti_join
+    from fgcspark.pipeline import pages_to_points
+
+    d = _geo_dir(sf_dir)
+    pts = pages_to_points(spark, d).select("url", "e", "n")
+    polys = spark.read.parquet(f"{d}/polygons.parquet")
+    return pip_anti_join(spark, pts, polys)
+
+
 def _q_top_tokens(spark, sf_dir):
     """Per-language top-20 token vocabulary (deterministic ranking,
     WindowGroupLimit over the aggregated table)."""
@@ -1098,7 +1151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_brute": _q_ann_topk,
         "ann_topk_ivf": _q_ann_ivf,
         "embed_neardup_ivf": _q_embed_neardup_ivf,
-        # --- slots 30-50: code changed since the r3 gate, then flagship joins
+        # --- slots 30-50: new ops this round, code changed since the r3
+        # gate, then flagship joins
+        "pip_anti_join": _q_pip_anti,
+        "latest_crawl_dedup": _q_latest_crawl,
+        "incremental_dedup": _q_incremental_dedup,
         "layer_simplify": _q_layer_simplify,
         "layer_area_perimeter": _q_layer_stats,
         "layer_hulls": _q_layer_hulls,
@@ -1117,10 +1174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_points_wkt": _q_points,
         "pages_tiles": _q_tiles,
         "tile_counts_10km": _q_tile_counts,
+        # --- slots 51+: r3-green and unchanged; rotate to the front in r5
         "pages_cells_jvm": _q_pages_cells_jvm,
         "chunked_resume": _q_chunked_resume,
         "facts_pivot": _q_facts_pivot,
-        # --- slots 51+: r3-green and unchanged; rotate to the front in r5
         "pages_footprint_types": _q_footprint_types,
         "pages_bbox_wkt": _q_bbox,
         "tile_counts_10km_salted": _q_tile_counts_salted,
@@ -1346,6 +1403,12 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, poly_id FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet')"
     )
     sql["pip_join_partitioned"] = sql["pip_join"]
+    sql["pip_anti_join"] = f"""
+        SELECT url FROM {_TR} t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/pip.parquet') p
+            WHERE p.url = t.url)
+    """
     sql["fp_layer_join"] = (
         f"SELECT url, poly_id FROM read_parquet('{GEO_DATA}/{ORACLE_SCALE}/fpjoin.parquet')"
     )
@@ -1822,6 +1885,38 @@ def oracle_sql() -> dict[str, str]:
     sql["canonical_urls"] = (
         f"SELECT doc_id, {_curl_sql(_mkurl)} AS canon FROM documents"
     )
+    # recrawl-dedup corpus: same construction as the Spark query (d%97
+    # path + d%4 query-class force canonical collisions)
+    _mkurl2 = (
+        "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END,"
+        " 'Site', CAST(doc_id % 7 AS VARCHAR), '.Example',"
+        " CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)"
+        "      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END,"
+        " concat('/p/', CAST(doc_id % 97 AS VARCHAR)),"
+        " CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1#frag'"
+        "      WHEN doc_id % 4 = 1 THEN '?b=2&a=1' ELSE '' END)"
+    )
+    sql["latest_crawl_dedup"] = f"""
+        WITH u AS (
+            SELECT {_curl_sql(_mkurl2)} AS canon_url,
+                   {_mkurl2} AS url,
+                   CAST((doc_id * 37) % 100000 AS BIGINT) AS crawl_ts
+            FROM documents
+        )
+        SELECT canon_url, url, crawl_ts FROM u
+        QUALIFY row_number() OVER (
+            PARTITION BY canon_url ORDER BY crawl_ts DESC, url DESC) = 1
+    """
+    sql["incremental_dedup"] = """
+        WITH fp AS (
+            SELECT doc_id, doc_id % 5 = 0 AS in_corpus,
+                   CAST(concat('0x', substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 14)) AS BIGINT) AS fp
+            FROM documents
+        )
+        SELECT b.doc_id FROM fp b
+        WHERE NOT b.in_corpus
+          AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.in_corpus AND c.fp = b.fp)
+    """
     sql["balanced_sample_lang"] = f"""
         WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         m AS (SELECT min(n) AS mn FROM c),

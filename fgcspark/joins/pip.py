@@ -186,6 +186,39 @@ def cached_index(
     return _INDEX_CACHE[k]
 
 
+def _expr_cover(spark: SparkSession, idx) -> DataFrame:
+    """The broadcast build side of the expr backend: one row per
+    (covering cell, polygon) carrying the polygon's edge array + bbox."""
+    return spark.createDataFrame(
+        idx.cover_with_edges(),
+        schema=(
+            "cell_n long, cell_e long, poly_id long, "
+            "edges array<struct<x0:double,y0:double,x1:double,y1:double>>, "
+            "bx0 double, by0 double, bx1 double, by1 double"
+        ),
+    )
+
+
+def _edge_crossings():
+    """Ray-crossing count of the current row's (e, n) point against the
+    row's `edges` array, as a JVM higher-order aggregate lambda — same
+    IEEE-double operation order as the numpy kernel (bit-identical)."""
+    return F.aggregate(
+        "edges",
+        F.lit(0),
+        lambda acc, ed: acc
+        + F.when(
+            ((ed["y0"] > F.col("n")) != (ed["y1"] > F.col("n")))
+            & (
+                F.col("e")
+                < (ed["x1"] - ed["x0"]) * (F.col("n") - ed["y0"])
+                / (ed["y1"] - ed["y0"]) + ed["x0"]
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
 def pip_join(
     spark: SparkSession,
     points: DataFrame,
@@ -232,14 +265,7 @@ def pip_join(
     ]
 
     if refine == "expr":
-        cover = spark.createDataFrame(
-            idx.cover_with_edges(),
-            schema=(
-                "cell_n long, cell_e long, poly_id long, "
-                "edges array<struct<x0:double,y0:double,x1:double,y1:double>>, "
-                "bx0 double, by0 double, bx1 double, by1 double"
-            ),
-        )
+        cover = _expr_cover(spark, idx)
         cand = (
             points.select(key_col, "e", "n", *cell_cols)
             .join(F.broadcast(cover), ["cell_n", "cell_e"])
@@ -248,21 +274,7 @@ def pip_join(
                 & (F.col("n") >= F.col("by0")) & (F.col("n") <= F.col("by1"))
             )
         )
-        crossings = F.aggregate(
-            "edges",
-            F.lit(0),
-            lambda acc, ed: acc
-            + F.when(
-                ((ed["y0"] > F.col("n")) != (ed["y1"] > F.col("n")))
-                & (
-                    F.col("e")
-                    < (ed["x1"] - ed["x0"]) * (F.col("n") - ed["y0"])
-                    / (ed["y1"] - ed["y0"]) + ed["x0"]
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        return cand.where(crossings % 2 == 1).select(key_col, "poly_id")
+        return cand.where(_edge_crossings() % 2 == 1).select(key_col, "poly_id")
 
     cover = spark.createDataFrame(
         idx.cover(), schema="cell_n long, cell_e long, poly_id long"
@@ -295,6 +307,50 @@ def pip_join(
     return (
         cand.filter(refine_udf(F.col("e"), F.col("n"), F.col("poly_id")))
         .select(key_col, "poly_id")
+    )
+
+
+def pip_anti_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_km: int = DEFAULT_CELL_KM,
+    key_col: str = "url",
+) -> DataFrame:
+    """Points contained in NO polygon of the layer — the complement of
+    pip_join over the same input (out-of-layer / ocean filtering, the
+    geotag-QA step that drops pages whose parsed coordinate lands
+    outside every admin boundary).
+
+    Shape: the same broadcast (cell -> edge array) cover as pip_join's
+    expr backend, but joined LEFT OUTER so zero-candidate points
+    survive with a null build side, then ONE hash aggregate per point
+    key (max of the per-candidate inside flag, map-side combined).
+    The point table is shuffled exactly once (the groupBy on its own
+    key); there is no anti join of two point-proportional tables and
+    no second scan of the points. All refine arithmetic is the same
+    JVM higher-order lambda as pip_join — no Python workers."""
+    idx = build_polygon_index(spark, polygons, cell_km)
+    s = cell_km * 1000
+    pts = points.select(
+        key_col,
+        "e",
+        "n",
+        F.floor(F.col("n") / s).cast("long").alias("cell_n"),
+        F.floor(F.col("e") / s).cast("long").alias("cell_e"),
+    )
+    cand = pts.join(F.broadcast(_expr_cover(spark, idx)), ["cell_n", "cell_e"], "left")
+    inside = F.when(
+        F.col("poly_id").isNotNull()
+        & (F.col("e") >= F.col("bx0")) & (F.col("e") <= F.col("bx1"))
+        & (F.col("n") >= F.col("by0")) & (F.col("n") <= F.col("by1")),
+        (_edge_crossings() % 2 == 1).cast("int"),
+    ).otherwise(F.lit(0))
+    return (
+        cand.groupBy(key_col)
+        .agg(F.max(inside).alias("_hit"))
+        .where(F.col("_hit") == 0)
+        .select(key_col)
     )
 
 

@@ -584,3 +584,31 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     8-byte keys, not documents)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return df.select(F.col(id_col), md5_56(norm).alias("fp"))
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (new-batch-vs-existing-corpus) exact dedup: the rows
+    of `docs` whose normalized-content fingerprint occurs nowhere in
+    `corpus` — the shape of a fresh crawl landing next to a 100 TB
+    corpus that must not be re-ingested.
+
+    Scale shape: the corpus crosses the wire as DISTINCT 8-byte
+    fingerprints only (projected before the join — documents
+    themselves never move); the LEFT ANTI join shuffles on that key
+    with a map-side-combined distinct on the build side, and AQE turns
+    it into a broadcast anti join whenever the fingerprint set fits.
+    Output preserves every `docs` column. Within-batch duplicates are
+    NOT collapsed here (that is exact_dedup's job); the two compose:
+    exact_dedup(incremental_dedup(batch, corpus))."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    seen = fingerprint(corpus, id_col, text_col).select("fp").distinct()
+    return (
+        docs.withColumn("_fp", md5_56(norm))
+        .join(seen, F.col("_fp") == seen["fp"], "left_anti")
+        .drop("_fp")
+    )

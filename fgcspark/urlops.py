@@ -95,6 +95,37 @@ def canonical_url_sql(url_expr: str) -> str:
     )
 
 
+def latest_crawl(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Cross-snapshot recrawl dedup: one row per CANONICAL url, the
+    newest crawl wins — the Common-Crawl-style "collapse N monthly
+    snapshots into the freshest copy of each page" step. Ties on the
+    timestamp break by the raw url string, so the survivor is
+    engine-independent under any partitioning.
+
+    Scale shape: a single hash aggregate on the canonical key with
+    map-side partial max_by — rows are never sorted, there is no
+    window (a row_number window would shuffle AND sort every snapshot
+    row), no self-join, no second pass. Canonicalization itself is
+    pure codegen (canonical_url)."""
+    wins = F.struct(F.col(ts_col), F.col(url_col))
+    return (
+        pages.select(
+            canonical_url(F.col(url_col)).alias("canon_url"),
+            url_col,
+            ts_col,
+        )
+        .groupBy("canon_url")
+        .agg(F.max_by(wins, wins).alias("_w"))
+        .select(
+            "canon_url",
+            F.col(f"_w.{url_col}").alias(url_col),
+            F.col(f"_w.{ts_col}").alias(ts_col),
+        )
+    )
+
+
 def host_stats(points: DataFrame, approx: bool = False) -> DataFrame:
     """Per-host crawl stats over the geo-extracted page table
     (needs url, lang, cell_100km): page count, distinct languages,

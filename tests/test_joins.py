@@ -338,3 +338,17 @@ def test_fp_join_plan_has_no_shuffle(spark, pages_dir):
     # must stream with no exchange anywhere
     assert "Exchange" not in plan or "BroadcastExchange" in plan
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_pip_anti_join_is_exact_complement(spark, pages_dir, points):
+    """pip_anti_join returns exactly the points pip_join never emits,
+    and together they partition the input key set."""
+    from fgcspark.joins.pip import pip_anti_join
+
+    polys = spark.read.parquet(f"{pages_dir}/polygons.parquet")
+    outside = {r.url for r in pip_anti_join(spark, points, polys).collect()}
+    inside = {r.url for r in pip_join(spark, points, polys).select("url").collect()}
+    every = {r.url for r in points.select("url").collect()}
+    assert outside == every - inside
+    assert outside  # the synth layer leaves some pages uncovered
+    assert outside.isdisjoint(inside)

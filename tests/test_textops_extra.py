@@ -203,3 +203,23 @@ def test_top_tokens_per_group(spark):
         top_tokens_per_group(df, k=2)._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_incremental_dedup_drops_only_corpus_duplicates(spark):
+    from fgcspark.textops import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "Gamma  Delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),        # exact dup of corpus
+            (11, "  GAMMA delta "),    # dup after normalization
+            (12, "epsilon zeta"),      # fresh
+            (13, "epsilon zeta"),      # within-batch dup: KEPT (not this op's job)
+        ],
+        "doc_id long, text string",
+    )
+    kept = incremental_dedup(batch, corpus)
+    assert set(kept.columns) == {"doc_id", "text"}
+    assert {r.doc_id for r in kept.collect()} == {12, 13}

@@ -54,3 +54,30 @@ def test_canonical_url_plan_is_pure_codegen(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_latest_crawl_newest_wins_and_ties_break_by_url(spark):
+    from fgcspark.urlops import latest_crawl
+
+    rows = [
+        # one canonical group via case/tracking variants, distinct ts
+        ("HTTPS://WWW.Ex.COM/a?utm_source=1&b=2&a=1", 5),
+        ("https://ex.com/a?a=1&b=2", 9),
+        ("https://EX.com:443/a?b=2&a=1", 7),
+        # a tie group: same ts, url string decides (max wins)
+        ("http://t.example/p?x=1", 3),
+        ("http://T.Example/p?x=1", 3),
+        # a singleton
+        ("http://solo.example/", 1),
+    ]
+    df = spark.createDataFrame(rows, "url string, crawl_ts long")
+    got = {
+        r.canon_url: (r.url, r.crawl_ts)
+        for r in latest_crawl(df, ts_col="crawl_ts").collect()
+    }
+    assert got["https://ex.com/a?a=1&b=2"] == ("https://ex.com/a?a=1&b=2", 9)
+    # max(struct(ts, url)): lowercase 'h' > uppercase 'T' fails; compare:
+    # "http://t.example/p?x=1" > "http://T.Example/p?x=1" (ASCII 't' > 'T')
+    assert got["http://t.example/p?x=1"] == ("http://t.example/p?x=1", 3)
+    assert got["http://solo.example/"] == ("http://solo.example/", 1)
+    assert len(got) == 3
