@@ -684,6 +684,32 @@ def _t(spark, sf_dir, name):
     return df
 
 
+def _q_occ_facts_typed(spark, sf_dir):
+    """Typed facts pivot (SURVEY §1.2): surface each whitelisted fact
+    from its natural typed column (string / int64 / double) instead of
+    the string Value the reference consumes."""
+    from fgcspark.facts import pivot_facts_typed
+    from fgcspark.synth.occ import generate_occ
+
+    d = generate_occ(Path(_geo_dir(sf_dir)).name)
+    facts = spark.read.parquet(f"{d}/occ_facts.parquet")
+    out = pivot_facts_typed(
+        facts,
+        {
+            "Havainnon laatu": "Value",
+            "Sijainnin tarkkuusluokka": "IntValue",
+            "Vesistoalue": "DecimalValue",
+        },
+        order_col="ord",
+    )
+    return out.select(
+        F.col("Parent").alias("occurrenceID"),
+        F.coalesce(F.col("`Havainnon laatu`"), F.lit("")).alias("laatu"),
+        F.coalesce(F.col("`Sijainnin tarkkuusluokka`"), F.lit(-1)).alias("tarkkuus"),
+        F.coalesce(F.col("`Vesistoalue`"), F.lit(-1.0)).alias("vesisto"),
+    )
+
+
 def _q_facts_pivot(spark, sf_dir):
     from fgcspark.facts import pivot_facts
 
@@ -1156,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti_join": _q_pip_anti,
         "latest_crawl_dedup": _q_latest_crawl,
         "incremental_dedup": _q_incremental_dedup,
+        "occ_facts_typed": _q_occ_facts_typed,
         "layer_simplify": _q_layer_simplify,
         "layer_area_perimeter": _q_layer_stats,
         "layer_hulls": _q_layer_hulls,
@@ -1173,8 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract_text": _q_extract,
         "pages_points_wkt": _q_points,
         "pages_tiles": _q_tiles,
-        "tile_counts_10km": _q_tile_counts,
         # --- slots 51+: r3-green and unchanged; rotate to the front in r5
+        "tile_counts_10km": _q_tile_counts,
         "pages_cells_jvm": _q_pages_cells_jvm,
         "chunked_resume": _q_chunked_resume,
         "facts_pivot": _q_facts_pivot,
@@ -1689,6 +1716,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE k < least(8, CAST(floor(octet_length(html) / 64) AS BIGINT))
     """
     # --- relational --------------------------------------------------------
+    sql["occ_facts_typed"] = f"""
+        SELECT Parent AS occurrenceID,
+               coalesce(min_by(Value, ord) FILTER (WHERE Fact = 'Havainnon laatu'), '') AS laatu,
+               coalesce(min_by(IntValue, ord) FILTER (WHERE Fact = 'Sijainnin tarkkuusluokka'), -1) AS tarkkuus,
+               coalesce(min_by(DecimalValue, ord) FILTER (WHERE Fact = 'Vesistoalue'), -1.0) AS vesisto
+        FROM {_OCC_F}
+        WHERE Fact IN ('Havainnon laatu', 'Sijainnin tarkkuusluokka', 'Vesistoalue')
+        GROUP BY 1
+    """
     sql["facts_pivot"] = """
         SELECT user_id,
                min_by(value, event_id) FILTER (WHERE event_type ='click') AS click,

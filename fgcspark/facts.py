@@ -33,6 +33,38 @@ def pivot_facts(
     return f.groupBy(parent_col).pivot(fact_col, whitelist).agg(agg)
 
 
+def pivot_facts_typed(
+    facts: DataFrame,
+    schema: dict[str, str],
+    parent_col: str = "Parent",
+    fact_col: str = "Fact",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Typed long -> wide pivot. The archive's ``*_facts_*`` tables
+    carry typed duplicates of every value (Value/IntValue/DecimalValue
+    columns — SURVEY §1.2; reference fixture inst/tinytest/
+    HBF.53254.zip) that the reference's whitelist path ignores; this
+    surfaces each whitelisted fact from its natural typed column
+    instead of the string form. `schema` maps fact name -> source
+    value column ("Value" | "IntValue" | "DecimalValue").
+
+    One shuffle: all referenced typed columns ride a single struct
+    through one pivot aggregate (deterministic min_by, same semantics
+    as pivot_facts), and the per-fact typed field is projected out
+    afterwards — no per-type second aggregate, no self-join."""
+    f = facts.filter(F.col(fact_col).isin(list(schema)))
+    srcs = sorted(set(schema.values()))
+    payload = F.struct(*[F.col(c) for c in srcs])
+    agg: Column = (
+        F.min_by(payload, order_col) if order_col else F.first(payload, ignorenulls=True)
+    )
+    wide = f.groupBy(parent_col).pivot(fact_col, list(schema)).agg(agg)
+    return wide.select(
+        parent_col,
+        *[F.col(f"`{name}`.{src}").alias(name) for name, src in schema.items()],
+    )
+
+
 def join_facts(
     rows: DataFrame,
     facts: DataFrame,

@@ -248,3 +248,33 @@ def test_poll_status_timeout_clamp():
         r = poll_status(Path(td), timeout=0.0, sleep=0.01)
         assert r["status_code"] == 200 and r["body"]["status"] == "pending"
         assert time.time() - t0 < 1.0
+
+
+def test_pivot_facts_typed_surfaces_native_types(spark):
+    from pyspark.sql import types as T
+
+    from fgcspark.facts import pivot_facts_typed
+
+    rows = [
+        # (Parent, Fact, Value, IntValue, DecimalValue, ord)
+        ("p1", "laatu", "good", 0, 0.0, 2),
+        ("p1", "laatu", "FIRST", 0, 0.0, 1),   # min ord wins
+        ("p1", "klass", "3", 3, 3.0, 1),
+        ("p2", "depth", "1.5", 1, 1.5, 1),
+        ("p2", "noise", "x", 9, 9.9, 1),       # not in schema -> ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "Parent string, Fact string, Value string, IntValue long, DecimalValue double, ord long"
+    )
+    out = pivot_facts_typed(
+        df,
+        {"laatu": "Value", "klass": "IntValue", "depth": "DecimalValue"},
+        order_col="ord",
+    )
+    schema = {f.name: f.dataType for f in out.schema.fields}
+    assert schema["laatu"] == T.StringType()
+    assert schema["klass"] == T.LongType()
+    assert schema["depth"] == T.DoubleType()
+    got = {r.Parent: (r.laatu, r.klass, r.depth) for r in out.collect()}
+    assert got["p1"] == ("FIRST", 3, None)
+    assert got["p2"] == (None, None, 1.5)
