@@ -852,22 +852,23 @@ def _q_canonical_urls(spark, sf_dir):
 
 def _q_latest_crawl(spark, sf_dir):
     """Cross-snapshot recrawl dedup: adversarial urls built from doc_id
-    so that case/port/tracking-param variants COLLIDE on the canonical
-    key (d%97 path + d%4 query-class make ~2 snapshots per canonical at
-    sf0.01); newest deterministic crawl_ts wins, url breaks ties. Both
-    engines construct the identical url + ts columns."""
+    so that case/port/tracking-param variants COLLIDE heavily on the
+    canonical key — everything is determined by d mod 60 (host d%3,
+    path d%5, query-class d%4, port d%3xd%2), so 500 docs collapse to
+    <= 60 canonicals (~8 snapshots each); newest deterministic crawl_ts
+    wins, url breaks ties. Both engines construct identical columns."""
     from fgcspark.urlops import latest_crawl
 
     d = F.col("doc_id")
     url = F.concat(
         F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("http://")),
         F.lit("Site"),
-        (d % 7).cast("string"),
+        (d % 3).cast("string"),
         F.lit(".Example"),
         F.when(d % 3 == 0, F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
         .when(d % 3 == 1, F.lit(":8080"))
         .otherwise(F.lit("")),
-        F.concat(F.lit("/p/"), (d % 97).cast("string")),
+        F.concat(F.lit("/p/"), (d % 5).cast("string")),
         F.when(d % 4 == 0, F.lit("?utm_source=x&b=2&a=1#frag"))
         .when(d % 4 == 1, F.lit("?b=2&a=1"))
         .otherwise(F.lit("")),
@@ -880,13 +881,19 @@ def _q_latest_crawl(spark, sf_dir):
 
 def _q_incremental_dedup(spark, sf_dir):
     """New-batch-vs-corpus dedup: docs with doc_id % 5 == 0 play the
-    existing corpus, the rest are the fresh batch; batch rows whose
-    content fingerprint already occurs in the corpus are dropped."""
+    existing corpus; the fresh batch is the remaining docs PLUS a
+    re-crawled copy of every corpus doc (new id, same content) — the
+    gate proves the copies are dropped and the fresh rows survive
+    (sf0.01 texts are all distinct, so without the injected copies the
+    anti join would be exercised on an empty overlap)."""
     from fgcspark.textops import incremental_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 5 == 0)
-    batch = docs.where(F.col("doc_id") % 5 != 0)
+    recrawl = corpus.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    batch = docs.where(F.col("doc_id") % 5 != 0).unionByName(recrawl)
     return incremental_dedup(batch, corpus).select("doc_id")
 
 
@@ -1921,14 +1928,15 @@ def oracle_sql() -> dict[str, str]:
     sql["canonical_urls"] = (
         f"SELECT doc_id, {_curl_sql(_mkurl)} AS canon FROM documents"
     )
-    # recrawl-dedup corpus: same construction as the Spark query (d%97
-    # path + d%4 query-class force canonical collisions)
+    # recrawl-dedup corpus: same construction as the Spark query (the
+    # canonical key is a function of doc_id mod 60, forcing ~8 snapshot
+    # variants per canonical at sf0.01)
     _mkurl2 = (
         "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END,"
-        " 'Site', CAST(doc_id % 7 AS VARCHAR), '.Example',"
+        " 'Site', CAST(doc_id % 3 AS VARCHAR), '.Example',"
         " CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)"
         "      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END,"
-        " concat('/p/', CAST(doc_id % 97 AS VARCHAR)),"
+        " concat('/p/', CAST(doc_id % 5 AS VARCHAR)),"
         " CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1#frag'"
         "      WHEN doc_id % 4 = 1 THEN '?b=2&a=1' ELSE '' END)"
     )
@@ -1948,10 +1956,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, doc_id % 5 = 0 AS in_corpus,
                    CAST(concat('0x', substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 14)) AS BIGINT) AS fp
             FROM documents
+        ),
+        batch AS (
+            SELECT doc_id, fp FROM fp WHERE NOT in_corpus
+            UNION ALL
+            SELECT doc_id + 100000, fp FROM fp WHERE in_corpus
         )
-        SELECT b.doc_id FROM fp b
-        WHERE NOT b.in_corpus
-          AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.in_corpus AND c.fp = b.fp)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM fp c WHERE c.in_corpus AND c.fp = b.fp)
     """
     sql["balanced_sample_lang"] = f"""
         WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
