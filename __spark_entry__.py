@@ -897,6 +897,30 @@ def _q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(batch, corpus).select("doc_id")
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4-style boilerplate line removal. Both engines prepend the SAME
+    deterministic boilerplate blocks (a 10-word cookie banner on every
+    doc + a 10-word newsletter plug on even doc_ids — both far above
+    the max_docs=2 threshold within every lang) so the gate proves the
+    repeated lines are stripped and each doc's unique tail survives in
+    order."""
+    from fgcspark.textops import line_dedup
+
+    d = F.col("doc_id")
+    boiler = F.concat(
+        F.lit("cookie notice accept all terms of service privacy policy please "),
+        F.when(
+            d % 2 == 0,
+            F.lit("subscribe to our newsletter for updates and special offers today "),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", boiler.alias("text")
+    )
+    return line_dedup(docs, max_docs=2)
+
+
 def _q_pip_anti(spark, sf_dir):
     """Pages whose point lands in NO polygon of the layer (out-of-layer
     geotag QA) — complement of pip_join, one aggregate, no anti join of
@@ -1189,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti_join": _q_pip_anti,
         "latest_crawl_dedup": _q_latest_crawl,
         "incremental_dedup": _q_incremental_dedup,
+        "line_dedup": _q_line_dedup,
         "occ_facts_typed": _q_occ_facts_typed,
         "layer_simplify": _q_layer_simplify,
         "layer_area_perimeter": _q_layer_stats,
@@ -1206,8 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_join_partitioned": _q_dwithin_partitioned,
         "pages_extract_text": _q_extract,
         "pages_points_wkt": _q_points,
-        "pages_tiles": _q_tiles,
         # --- slots 51+: r3-green and unchanged; rotate to the front in r5
+        "pages_tiles": _q_tiles,
         "tile_counts_10km": _q_tile_counts,
         "pages_cells_jvm": _q_pages_cells_jvm,
         "chunked_resume": _q_chunked_resume,
@@ -1723,6 +1748,37 @@ def oracle_sql() -> dict[str, str]:
         WHERE k < least(8, CAST(floor(octet_length(html) / 64) AS BIGINT))
     """
     # --- relational --------------------------------------------------------
+    sql["line_dedup"] = """
+        WITH src AS (
+            SELECT doc_id, lang,
+                   concat('cookie notice accept all terms of service privacy policy please ',
+                          CASE WHEN doc_id % 2 = 0
+                               THEN 'subscribe to our newsletter for updates and special offers today '
+                               ELSE '' END,
+                          text) AS text
+            FROM documents
+        ),
+        w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM src),
+        l AS (
+            SELECT doc_id, lang, i AS pos,
+                   array_to_string(words[(i*10+1):(i*10+10)], ' ') AS line
+            FROM w JOIN range(0, 4096) r(i) ON i < ceil(len(words) / 10.0)
+        ),
+        h AS (
+            SELECT doc_id, lang, pos, line,
+                   CAST(concat('0x', substring(md5(line), 1, 14)) AS BIGINT) AS line_h
+            FROM l
+        ),
+        boiler AS (
+            SELECT lang, line_h FROM h
+            GROUP BY lang, line_h HAVING count(DISTINCT doc_id) > 2
+        )
+        SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text
+        FROM h
+        WHERE NOT EXISTS (
+            SELECT 1 FROM boiler b WHERE b.lang = h.lang AND b.line_h = h.line_h)
+        GROUP BY 1
+    """
     sql["occ_facts_typed"] = f"""
         SELECT Parent AS occurrenceID,
                coalesce(min_by(Value, ord) FILTER (WHERE Fact = 'Havainnon laatu'), '') AS laatu,

@@ -586,6 +586,68 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(F.col(id_col), md5_56(norm).alias("fp"))
 
 
+def line_dedup(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_words: int | None = 10,
+    max_docs: int = 2,
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate line removal: drop every line
+    that occurs (exact content hash) in more than `max_docs` distinct
+    documents of the same group (host / domain / lang), then rebuild
+    each document from its surviving lines in original order. Returns
+    (id, clean_text); documents whose every line was boilerplate
+    disappear from the output.
+
+    The synthetic corpus has no newlines, so a "line" defaults to a
+    fixed window of `line_words` consecutive whitespace tokens
+    (arithmetic chunking lambda, no Python); pass line_words=None for
+    real crawl text to split on newlines instead.
+
+    Scale shape (all JVM-side):
+      1. lines fan out map-side (posexplode) and hash-aggregate to the
+         boilerplate set (group, line_hash with > max_docs distinct
+         docs) — partial aggregation on (group, hash, id) first, so
+         the shuffle carries small keys, never line text;
+      2. the line table LEFT ANTI joins that set on (group, hash) —
+         the boilerplate set is tiny by construction (only repeated
+         lines), so AQE broadcasts it and the lines never shuffle;
+      3. surviving lines re-aggregate per doc via sort_array over
+         (pos, line) structs — one combiner-friendly groupBy, no
+         window, no sort of the full corpus."""
+    if line_words is None:
+        lines_arr = F.split(F.col(text_col), "\n")
+    else:
+        k = line_words
+        words = F.split(F.col(text_col), " ")
+        nch = F.ceil(F.size(words) / F.lit(k)).cast("int")
+        lines_arr = F.transform(
+            F.sequence(F.lit(0), nch - F.lit(1)),
+            lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+        )
+    lined = docs.select(
+        group_col, id_col, F.posexplode(lines_arr).alias("pos", "line")
+    ).withColumn("line_h", md5_56(F.col("line")))
+    boiler = (
+        lined.groupBy(group_col, "line_h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") > max_docs)
+        .select(group_col, "line_h")
+    )
+    kept = lined.join(boiler, [group_col, "line_h"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " " if line_words is not None else "\n",
+        ).alias("clean_text")
+    )
+
+
 def incremental_dedup(
     docs: DataFrame,
     corpus: DataFrame,

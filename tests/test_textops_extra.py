@@ -223,3 +223,44 @@ def test_incremental_dedup_drops_only_corpus_duplicates(spark):
     kept = incremental_dedup(batch, corpus)
     assert set(kept.columns) == {"doc_id", "text"}
     assert {r.doc_id for r in kept.collect()} == {12, 13}
+
+
+def test_line_dedup_threshold_and_order(spark):
+    from fgcspark.textops import line_dedup
+
+    mk = lambda i, lines: (i, "en", "\n".join(lines))
+    df = spark.createDataFrame(
+        [
+            mk(1, ["BOILER", "unique one", "SHARED2"]),
+            mk(2, ["BOILER", "unique two", "SHARED2"]),
+            mk(3, ["BOILER", "unique three"]),
+            mk(4, ["BOILER"]),  # all-boilerplate doc vanishes
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: r.clean_text
+        for r in line_dedup(df, line_words=None, max_docs=2).collect()
+    }
+    # BOILER is in 4 > 2 docs -> stripped; SHARED2 in exactly 2 -> kept
+    assert got == {
+        1: "unique one\nSHARED2",
+        2: "unique two\nSHARED2",
+        3: "unique three",
+    }
+
+
+def test_line_dedup_word_window_chunking(spark):
+    from fgcspark.textops import line_dedup
+
+    # 3-word lines; the first line of every doc is identical boilerplate
+    texts = [f"drop me now keep{i} mine {i}" for i in range(4)]
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: r.clean_text
+        for r in line_dedup(df, line_words=3, max_docs=2).collect()
+    }
+    assert got == {i: f"keep{i} mine {i}" for i in range(4)}
