@@ -199,7 +199,13 @@ def write_md(rungs: list[dict]) -> None:
     )
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(head + tail)
+    # Prepend the fresh ladder; keep prior rounds' measurements as an
+    # archive section instead of clobbering them.
+    target = bench_dir / "BASELINE.md"
+    prior = target.read_text() if target.exists() else ""
+    if prior:
+        prior = "\n---\n\n# Archived prior-round measurements\n\n" + prior
+    target.write_text(head + tail + prior)
     (bench_dir / "scaling_ladder.json").write_text(json.dumps(rungs, indent=2) + "\n")
 
 
