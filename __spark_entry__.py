@@ -921,6 +921,50 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(docs, max_docs=2)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-corpus-doc count of word trigrams
+    shared with a held-out eval set (docs with doc_id % 97 == 0 play
+    the benchmark; the rest are the corpus). Broadcast semi-join on the
+    DISTINCT eval shingle set — the corpus never shuffles by shingle."""
+    from fgcspark.textops import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, eval_docs, n=3)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII detect + mask. Both engines append the SAME deterministic
+    PII strings (emails on doc_id%7, IPv4 on %11, E.164 phones on %13)
+    so the gate proves counts and placeholder rewrites on text where
+    PII provably occurs; pure regexp codegen, zero shuffles."""
+    from fgcspark.pii import pii_scrub
+
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" contact u"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.lit(" call +35855"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", injected.alias("text"))
+    return pii_scrub(docs)
+
+
 def _q_pip_anti(spark, sf_dir):
     """Pages whose point lands in NO polygon of the layer (out-of-layer
     geotag QA) — complement of pip_join, one aggregate, no anti join of
@@ -1214,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_crawl_dedup": _q_latest_crawl,
         "incremental_dedup": _q_incremental_dedup,
         "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
         "occ_facts_typed": _q_occ_facts_typed,
         "layer_simplify": _q_layer_simplify,
         "layer_area_perimeter": _q_layer_stats,
@@ -1778,6 +1824,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
             SELECT 1 FROM boiler b WHERE b.lang = h.lang AND b.line_h = h.line_h)
         GROUP BY 1
+    """
+    sql["decontaminate"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM toks JOIN range(1, 4096) r(i) ON i <= len(t) - 2
+            WHERE len(array_to_string(t[i:i+2], ' ')) > 0
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+        )
+        SELECT doc_id, count(*) AS n_hits
+        FROM sh JOIN ev USING (shingle)
+        WHERE doc_id % 97 <> 0
+        GROUP BY 1
+    """
+    _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _PII_PHONE = "\\+\\d{9,14}"
+    sql["pii_scrub"] = f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' call +35855' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+                           ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+               len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+        FROM injected
     """
     sql["occ_facts_typed"] = f"""
         SELECT Parent AS occurrenceID,

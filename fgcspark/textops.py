@@ -56,10 +56,14 @@ def _with_shingle_arr(
     CollapseProject keeps the stages separate (the alias is referenced
     from multiple positions and split is non-cheap)."""
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    # docs shorter than n tokens have NO shingles: guard explicitly,
+    # because sequence(1, 0) is a DESCENDING [1, 0] in Spark and the
+    # i=0 slice start is an error (not an empty slice).
     sh = F.expr(
-        f"filter(transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)),"
+        f"case when size(__toks) < {n} then array()"
+        f" else filter(transform(sequence(1, size(__toks) - {n - 1}),"
         f" i -> array_join(slice(__toks, i, {n}), ' ')),"
-        " s -> length(s) > 0)"
+        " s -> length(s) > 0) end"
     )
     return toks.select(F.col(id_col), F.array_distinct(sh).alias("sh_arr"))
 
@@ -674,3 +678,47 @@ def incremental_dedup(
         .join(seen, F.col("_fp") == seen["fp"], "left_anti")
         .drop("_fp")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination scan: per-corpus-doc count of word
+    n-grams shared with an evaluation set (the GPT-3 appendix-C /
+    Llama-style 13-gram overlap check, re-expressed as a distributed
+    shingle semi-join). Returns (id, n_hits) for contaminated docs
+    only; compose with `decontaminated` to drop them.
+
+    Scale shape: eval benchmarks are tiny next to a 100 TB corpus, so
+    the DISTINCT eval n-gram set is broadcast and the corpus side is a
+    map-only explode + broadcast hash join — the corpus is never
+    shuffled by shingle. The one shuffle is the per-doc hit count on
+    `id_col` with map-side partial aggregation. Integer-only output
+    keeps the DuckDB oracle comparison exact.
+    """
+    ev = shingles(eval_docs, n, id_col, text_col).select("shingle").distinct()
+    sh = shingles(docs, n, id_col, text_col)
+    return (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminated(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus rows surviving decontamination: docs sharing NO word
+    n-gram with the eval set (left-anti on the contaminated-id set;
+    AQE broadcasts it when small — usually, since contamination is
+    rare by construction). Preserves every `docs` column."""
+    hits = decontaminate(docs, eval_docs, n, id_col, text_col).select(id_col)
+    return docs.join(hits, id_col, "left_anti")
