@@ -965,6 +965,27 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(docs)
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Lee-et-al-style exact substring dedup: maximal duplicated token
+    spans (>= 8 tokens, verbatim, anywhere in the corpus). The synth
+    corpus's small vocabulary produces ~1k naturally duplicated 8-grams
+    at sf0.01, so the gate exercises real anchor merging."""
+    from fgcspark.textops import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(docs, k=8)
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    """CCNet-style quality score: mean token log-prob under a unigram
+    LM trained on the corpus itself. Rounded to 6 decimals in both
+    engines so summation order cannot flip the hash."""
+    from fgcspark.textops import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs)
+
+
 def _q_pip_anti(spark, sf_dir):
     """Pages whose point lands in NO polygon of the layer (out-of-layer
     geotag QA) — complement of pip_join, one aggregate, no anti join of
@@ -1260,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
+        "duplicate_spans": _q_duplicate_spans,
+        "unigram_logprob": _q_unigram_logprob,
         "occ_facts_typed": _q_occ_facts_typed,
         "layer_simplify": _q_layer_simplify,
         "layer_area_perimeter": _q_layer_stats,
@@ -1868,6 +1891,47 @@ def oracle_sql() -> dict[str, str]:
                        '{_PII_IP}', '<IP>', 'g'),
                    '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
         FROM injected
+    """
+    sql["duplicate_spans"] = """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), g AS (
+            SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+            FROM d, UNNEST(range(len(w) - 7)) AS t(i)
+            WHERE len(w) >= 8
+        ), dup AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+        ), hits AS (
+            SELECT doc_id, pos FROM g JOIN dup USING (gram)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos <= lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) + 8
+                        THEN 0 ELSE 1 END AS brk
+            FROM hits
+        ), isl2 AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+            FROM isl
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+               max(pos) - min(pos) + 8 AS span_tokens
+        FROM isl2 GROUP BY doc_id, isle
+    """
+    sql["unigram_logprob"] = """
+        WITH tok AS (
+            SELECT doc_id, u.t AS tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        ), c AS (
+            SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        ), tot AS (
+            SELECT sum(c) AS total FROM c
+        ), lp AS (
+            SELECT tok, ln(c) - ln(total) AS lp FROM c, tot
+        )
+        SELECT doc_id, round(avg(lp), 6) AS logprob
+        FROM tok JOIN lp USING (tok)
+        GROUP BY doc_id
     """
     sql["occ_facts_typed"] = f"""
         SELECT Parent AS occurrenceID,

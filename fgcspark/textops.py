@@ -722,3 +722,136 @@ def decontaminated(
     rare by construction). Preserves every `docs` column."""
     hits = decontaminate(docs, eval_docs, n, id_col, text_col).select(id_col)
     return docs.join(hits, id_col, "left_anti")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level duplication (the dedup unit of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed Spark-first: report every maximal token span of length
+    >= k that occurs verbatim more than once anywhere in the corpus
+    (cross-doc or repeated within one doc). The reference engine has no
+    substring dedup; this is the training-pipeline extension the graft
+    brief asks for, sitting beside line_dedup (line unit) and
+    minhash_lsh_pairs (whole-doc unit).
+
+    Suffix automata don't distribute; the Spark-native equivalent is
+    k-gram anchoring: a duplicated span of length >= k is exactly a
+    maximal run of duplicated k-gram start positions, so
+
+      1. one projection splits the text ONCE, a `transform` over
+         `sequence` builds all k-gram hashes JVM-side, and a
+         posexplode fans out (id, pos, gram_h) — map-only;
+      2. the duplicated-gram set is groupBy(gram_h) HAVING count>1 —
+         the shuffle carries 8-byte hashes, never gram text, and
+         map-side partial aggregation collapses within-partition
+         repeats first;
+      3. positions of duplicated grams join back on gram_h (hash
+         equi-join, uniformly distributed by construction);
+      4. gaps-and-islands per doc merges overlapping anchors (pos <=
+         prev + k) into maximal spans: lag + running-sum windows
+         partitioned by id, then groupBy(id, island) — Spark satisfies
+         the group's ClusteredDistribution from the window's
+         HashPartitioning(id), so steps 4a..4c share ONE shuffle.
+
+    Output: (id_col, span_start, span_end, span_tokens) with 0-based
+    inclusive token offsets — integer-only, so the DuckDB oracle
+    (list-slice grams + window islands) compares exactly.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).where(F.size("__toks") >= k)
+    # The sequence bound is clamped to >= 0 so the expression is TOTAL:
+    # Catalyst infers `size(grams) > 0` from the later posexplode and
+    # merges it into the same Filter as the size>=k guard, where codegen
+    # subexpression elimination evaluates the transform EAGERLY — an
+    # unclamped sequence(0, size-k) turns descending on short docs and
+    # slice(_, 0, k) throws. Short docs are still dropped by the row
+    # filter above; the clamp only keeps the hoisted evaluation safe.
+    grams = toks.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("__toks") - F.lit(k), F.lit(0))
+            ),
+            lambda i: md5_56(
+                F.array_join(F.slice("__toks", i + 1, k), " ")
+            ),
+        ).alias("__grams"),
+    )
+    pos = grams.select(
+        F.col(id_col), F.posexplode("__grams").alias("pos", "gram_h")
+    )
+    dup = (
+        pos.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("gram_h")
+    )
+    hits = pos.join(dup, "gram_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") <= F.lag("pos").over(w) + F.lit(k), F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = hits.withColumn("__brk", brk).withColumn(
+        "__isle",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy(id_col, "__isle").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_tokens"),
+    ).select(id_col, "span_start", "span_end", "span_tokens")
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality score without a pretrained
+    model: train a unigram LM on the corpus itself (one aggregate),
+    then score each document by its mean token log-probability. Low
+    scores flag gibberish / boilerplate-heavy / off-distribution docs
+    exactly the way CCNet's KenLM perplexity buckets do, and the whole
+    thing is two shuffles of Zipf-small key spaces:
+
+      1. explode tokens -> groupBy(token) count: the unigram table is
+         tiny relative to the corpus (vocabulary, not volume), with
+         map-side partial aggregation so the shuffle carries one row
+         per (partition, token);
+      2. the corpus total is a 1-row aggregate cross-joined back
+         (broadcast by construction);
+      3. token rows join their logprob on token — at 100 TB the
+         unigram table still fits executor memory after a frequency
+         floor, so AQE broadcasts it and the corpus never shuffles
+         here;
+      4. groupBy(id) mean — the only corpus-sized shuffle.
+
+    Scores are ln(count/total) averaged per doc, rounded to `round_to`
+    decimals so Spark's and the oracle's summation orders cannot
+    diverge in the comparison. No smoothing is needed: the vocabulary
+    is trained on the same corpus, so OOV is impossible by
+    construction (document if scoring NEW docs against a frozen
+    unigram table — then add-one smoothing over the table's total).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__total"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "tok", (F.log(F.col("__c")) - F.log(F.col("__total"))).alias("__lp")
+    )
+    return (
+        tok.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__lp"), round_to).alias("logprob"))
+    )
