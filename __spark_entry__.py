@@ -986,6 +986,17 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs)
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    """The substring-dedup transformation: docs rebuilt with every
+    duplicated >= 8-token span cut out, order preserved; fully-
+    duplicated docs come back as empty strings, untouched docs pass
+    through byte-identical."""
+    from fgcspark.textops import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, k=8)
+
+
 def _q_pip_anti(spark, sf_dir):
     """Pages whose point lands in NO polygon of the layer (out-of-layer
     geotag QA) — complement of pip_join, one aggregate, no anti join of
@@ -1282,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "duplicate_spans": _q_duplicate_spans,
+        "remove_duplicate_spans": _q_remove_dup_spans,
         "unigram_logprob": _q_unigram_logprob,
         "occ_facts_typed": _q_occ_facts_typed,
         "layer_simplify": _q_layer_simplify,
@@ -1917,6 +1929,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
                max(pos) - min(pos) + 8 AS span_tokens
         FROM isl2 GROUP BY doc_id, isle
+    """
+    sql["remove_duplicate_spans"] = """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), g AS (
+            SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+            FROM d, UNNEST(range(len(w) - 7)) AS t(i)
+            WHERE len(w) >= 8
+        ), dup AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+        ), hits AS (
+            SELECT doc_id, pos FROM g JOIN dup USING (gram)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos <= lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) + 8
+                        THEN 0 ELSE 1 END AS brk
+            FROM hits
+        ), isl2 AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+            FROM isl
+        ), spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+            FROM isl2 GROUP BY doc_id, isle
+        ), tok AS (
+            SELECT doc_id, i AS pos, w[i+1] AS t
+            FROM d, UNNEST(range(len(w))) AS r(i)
+        ), kept AS (
+            SELECT doc_id, pos, t FROM tok
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tok.doc_id AND tok.pos BETWEEN s.s AND s.e)
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(k.t, ' ' ORDER BY k.pos), '') AS clean_text
+        FROM d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id
     """
     sql["unigram_logprob"] = """
         WITH tok AS (

@@ -855,3 +855,43 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(F.round(F.avg("__lp"), round_to).alias("logprob"))
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Lee-et-al substring-dedup TRANSFORMATION: rebuild each
+    document with every duplicated span (>= k tokens, verbatim repeat
+    anywhere in the corpus — see duplicate_spans) cut out, surviving
+    tokens kept in original order. Docs whose whole text is duplicated
+    come back with clean_text = '' (kept, not dropped, so the caller
+    decides the row's fate); docs with no duplicated span pass through
+    unchanged.
+
+    Scale shape: the span table holds one row per duplicated REGION
+    (not per token), orders of magnitude smaller than the corpus, so
+    the per-doc span-list aggregate is cheap and the join back to docs
+    is an id equi-join AQE can broadcast when dup density is low. Token
+    filtering is a JVM `filter` lambda with the positional index
+    against the doc's own span array — map-only, no explode of the
+    corpus into token rows.
+    """
+    spans = duplicate_spans(docs, k, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    joined = toks.join(per_doc, id_col, "left")
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.coalesce("__spans", F.array()),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    clean = F.array_join(
+        F.filter("__toks", lambda t, i: ~in_span(i)), " "
+    )
+    return joined.select(F.col(id_col), clean.alias("clean_text"))

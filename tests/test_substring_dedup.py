@@ -118,3 +118,26 @@ def test_duplicate_spans_plan_shape(spark):
     df = duplicate_spans(_docs(spark, rows), k=8)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_remove_duplicate_spans(spark):
+    from fgcspark.textops import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{shared} keep1 keep2"),
+        (2, f"pre1 pre2 {shared}"),
+        (3, "totally unique text that repeats nothing else anywhere at all"),
+        (4, shared),  # fully duplicated -> empty
+        (5, "tiny doc"),  # < k tokens: untouched
+    ]
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicate_spans(_docs(spark, rows), k=8).collect()
+    }
+    assert got[1] == "keep1 keep2"
+    assert got[2] == "pre1 pre2"
+    assert got[3] == rows[2][1]  # byte-identical passthrough
+    assert got[4] == ""
+    assert got[5] == "tiny doc"
+    assert len(got) == 5  # every doc kept, even when emptied
