@@ -72,6 +72,12 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "media_metadata",
     "media_frames",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "unigram_logprob",
+    "line_dedup",
+    "decontaminate",
+    "pii_scrub",
 ]
 
 
