@@ -175,6 +175,19 @@ def _q_cell_ring_counts(spark, sf_dir):
     return ring_counts(hot, counts, k=2)
 
 
+def _q_dbscan_cells(spark, sf_dir):
+    """Grid DBSCAN (50 km cells, min_pts=30): contiguous dense regions
+    of the grid — core cells labelled by frontier min-label propagation
+    over the 8-neighborhood, border cells deterministically assigned to
+    the minimum adjacent cluster. Oracle: recursive-CTE transitive
+    closure of the same adjacency in DuckDB."""
+    from fgcspark.cells.dbscan import dbscan_cells
+    from fgcspark.pipeline import pages_to_points
+
+    pts = pages_to_points(spark, _geo_dir(sf_dir))
+    return dbscan_cells(pts, size_km=50, min_pts=30)
+
+
 def _q_top_hosts_per_cell(spark, sf_dir):
     """Top-3 hosts by page count inside each 100 km cell (window
     rank over a pre-aggregated (cell, host) table — the shuffle is on
@@ -1296,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": _q_remove_dup_spans,
         "unigram_logprob": _q_unigram_logprob,
         "occ_facts_typed": _q_occ_facts_typed,
+        "dbscan_cells": _q_dbscan_cells,
         "layer_simplify": _q_layer_simplify,
         "layer_area_perimeter": _q_layer_stats,
         "layer_hulls": _q_layer_hulls,
@@ -1481,6 +1495,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.cell, r.n_docs, CAST(SUM(c.n_docs) AS BIGINT) AS n_docs_ring
         FROM ring r JOIN counts c ON c.cell = r.ncell
         GROUP BY 1, 2
+    """
+    # Grid DBSCAN re-derived as a recursive-CTE transitive closure over
+    # the same 8-neighborhood (vs the engine's frontier propagation)
+    sql["dbscan_cells"] = f"""
+        WITH RECURSIVE
+        counts AS (
+            SELECT cell_50km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 1
+        ),
+        parts AS (
+            SELECT cell, n_docs,
+                   CAST(string_split(cell, ':')[1] AS BIGINT) AS nb,
+                   CAST(string_split(cell, ':')[2] AS BIGINT) AS eb
+            FROM counts
+        ),
+        core AS (
+            SELECT *, nb * 1048576 + eb AS k FROM parts WHERE n_docs >= 30
+        ),
+        edges AS (
+            SELECT a.k AS ku, b.k AS kv FROM core a JOIN core b
+              ON abs(a.nb - b.nb) <= 1 AND abs(a.eb - b.eb) <= 1 AND a.k <> b.k
+        ),
+        lbl(k, l) AS (
+            SELECT k, k FROM core
+            UNION
+            SELECT e.ku, l.l FROM lbl l JOIN edges e ON e.kv = l.k
+        ),
+        fin AS (SELECT k, MIN(l) AS cluster FROM lbl GROUP BY k),
+        borders AS (
+            SELECT p.cell, p.n_docs, MIN(f.cluster) AS cluster
+            FROM parts p
+            JOIN core c ON abs(p.nb - c.nb) <= 1 AND abs(p.eb - c.eb) <= 1
+            JOIN fin f ON f.k = c.k
+            WHERE p.n_docs < 30
+            GROUP BY 1, 2
+        )
+        SELECT c.cell, c.n_docs, 'core' AS role, CAST(f.cluster AS BIGINT) AS cluster
+        FROM core c JOIN fin f ON f.k = c.k
+        UNION ALL
+        SELECT cell, n_docs, 'border' AS role, CAST(cluster AS BIGINT) AS cluster
+        FROM borders
     """
     # Morton interleave re-derived in SQL with the same magic-number
     # spread (independent of the engine's Column expression tree)
