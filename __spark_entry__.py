@@ -175,6 +175,18 @@ def _q_cell_ring_counts(spark, sf_dir):
     return ring_counts(hot, counts, k=2)
 
 
+def _q_focal_density(spark, sf_dir):
+    """Binomial kernel-density surface over the 10 km tile raster
+    (separable two-pass convolution in exact long arithmetic). Oracle:
+    the direct (2k+1)^2 weighted neighborhood sum in DuckDB — equality
+    is exact because the kernel is an integer outer product."""
+    from fgcspark.pipeline import tile_counts
+    from fgcspark.tiles import focal_density
+
+    counts = tile_counts(spark, _geo_dir(sf_dir), size_km=10)
+    return focal_density(counts)
+
+
 def _q_dbscan_cells(spark, sf_dir):
     """Grid DBSCAN (50 km cells, min_pts=30): contiguous dense regions
     of the grid — core cells labelled by frontier min-label propagation
@@ -1310,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "occ_facts_typed": _q_occ_facts_typed,
         "dbscan_cells": _q_dbscan_cells,
+        "focal_density": _q_focal_density,
         "layer_simplify": _q_layer_simplify,
         "layer_area_perimeter": _q_layer_stats,
         "layer_hulls": _q_layer_hulls,
@@ -1535,6 +1548,28 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT cell, n_docs, 'border' AS role, CAST(cluster AS BIGINT) AS cluster
         FROM borders
+    """
+    # Focal density re-derived as the DIRECT 2-D weighted neighborhood
+    # sum (vs the engine's separable two-pass convolution) — integer
+    # kernel makes the two formulations exactly equal
+    sql["focal_density"] = f"""
+        WITH counts AS (
+            SELECT cell_10km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 1
+        ),
+        parts AS (
+            SELECT cell, n_docs,
+                   CAST(string_split(cell, ':')[1] AS BIGINT) AS nb,
+                   CAST(string_split(cell, ':')[2] AS BIGINT) AS eb
+            FROM counts
+        ),
+        w(d, w) AS (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1))
+        SELECT p.cell, p.n_docs,
+               CAST(SUM(c.n_docs * wn.w * we.w) AS BIGINT) AS wsum,
+               SUM(c.n_docs * wn.w * we.w) / 256.0 AS density
+        FROM parts p
+        CROSS JOIN w wn CROSS JOIN w we
+        JOIN parts c ON c.nb = p.nb + wn.d AND c.eb = p.eb + we.d
+        GROUP BY 1, 2
     """
     # Morton interleave re-derived in SQL with the same magic-number
     # spread (independent of the engine's Column expression tree)

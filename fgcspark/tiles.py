@@ -103,3 +103,63 @@ def raster_to_vector(raster: DataFrame) -> DataFrame:
         .where(F.col("n_docs") > 0)
         .select("cell", F.col("sub_idx").cast("int"), "n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Focal (kernel) density: separable integer binomial blur over the grid
+
+BINOMIAL = (1, 4, 6, 4, 1)  # Pascal row 4 — the classic integer Gaussian
+
+
+def focal_density(counts: DataFrame, weights=BINOMIAL) -> DataFrame:
+    """Kernel-density surface over the tile raster: for every occupied
+    cell, the binomially-weighted sum of document counts in its
+    (2k+1)x(2k+1) neighborhood (k = len(weights)//2), i.e. a discrete
+    Gaussian heat-map — the standard "focal statistics" raster op.
+
+    The 2-D kernel is the outer product of the 1-D `weights`, so the
+    convolution is SEPARABLE: one pass along the easting axis, one
+    along the northing axis — 2*(2k+1) neighbor terms per cell instead
+    of (2k+1)^2. Each pass is an explode of the constant offset/weight
+    list + a map-side-combinable groupBy on the shifted cell key: two
+    small shuffles over the per-cell aggregate (already orders of
+    magnitude smaller than the doc table), never over the documents.
+    Integer weights keep both passes in exact long arithmetic, so the
+    result is bit-identical to the direct 2-D sum regardless of
+    association order.
+
+    `counts`: (cell, n_docs) as produced by `pipeline.tile_counts`.
+    Returns (cell, n_docs, wsum, density) for the occupied cells only;
+    density = wsum / kernel_total (exact: the binomial total 256 is a
+    power of two)."""
+    k = len(weights) // 2
+    offs = F.array(
+        *[
+            F.struct(F.lit(d - k).alias("d"), F.lit(int(w)).alias("w"))
+            for d, w in enumerate(weights)
+        ]
+    )
+    nb = F.split(F.col("cell"), ":")[0].cast("long")
+    eb = F.split(F.col("cell"), ":")[1].cast("long")
+    base = counts.select("cell", "n_docs", nb.alias("_nb"), eb.alias("_eb"))
+
+    # pass 1: blur along easting — contribution of each cell lands on
+    # the shifted key, summed map-side before the shuffle
+    p1 = (
+        base.withColumn("_o", F.explode(offs))
+        .groupBy(F.col("_nb"), (F.col("_eb") + F.col("_o.d")).alias("_eb"))
+        .agg(F.sum(F.col("n_docs") * F.col("_o.w")).alias("_s1"))
+    )
+    # pass 2: blur along northing over the pass-1 surface
+    p2 = (
+        p1.withColumn("_o", F.explode(offs))
+        .groupBy((F.col("_nb") + F.col("_o.d")).alias("_nb"), F.col("_eb"))
+        .agg(F.sum(F.col("_s1") * F.col("_o.w")).alias("wsum"))
+    )
+    total = int(sum(weights)) ** 2
+    return base.join(p2, ["_nb", "_eb"]).select(
+        "cell",
+        "n_docs",
+        F.col("wsum").cast("long").alias("wsum"),
+        (F.col("wsum") / F.lit(total)).alias("density"),
+    )
