@@ -175,6 +175,37 @@ def _q_cell_ring_counts(spark, sf_dir):
     return ring_counts(hot, counts, k=2)
 
 
+def _q_outlink_edges(spark, sf_dir):
+    """Outlink extraction from page head (url, outlink) — pure JVM
+    regexp_extract_all over the decoded html, no Python, no shuffle."""
+    from fgcspark.webgraph import with_outlinks
+
+    d = _geo_dir(sf_dir)
+    return with_outlinks(spark.read.parquet(f"{d}/pages.parquet"))
+
+
+def _q_host_linkgraph(spark, sf_dir):
+    """Host-level weighted link graph (src_host, dst_host, n_links):
+    one map-side-combined groupBy over the extracted edges."""
+    from fgcspark.webgraph import host_linkgraph
+
+    d = _geo_dir(sf_dir)
+    return host_linkgraph(spark.read.parquet(f"{d}/pages.parquet"))
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the host graph (10 synchronous damped
+    iterations, uniform dangling-mass redistribution). Oracle: the
+    identical fixed-iteration recurrence unrolled as 10 CTE stages in
+    DuckDB — float summation-order differences are ~1e-15 relative,
+    far inside the driver's 1e-9 rounding."""
+    from fgcspark.webgraph import host_linkgraph, host_nodes, pagerank
+
+    d = _geo_dir(sf_dir)
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    return pagerank(host_nodes(pages), host_linkgraph(pages))
+
+
 def _q_focal_density(spark, sf_dir):
     """Binomial kernel-density surface over the 10 km tile raster
     (separable two-pass convolution in exact long arithmetic). Oracle:
@@ -1323,6 +1354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occ_facts_typed": _q_occ_facts_typed,
         "dbscan_cells": _q_dbscan_cells,
         "focal_density": _q_focal_density,
+        "outlink_edges": _q_outlink_edges,
+        "host_linkgraph": _q_host_linkgraph,
+        "host_pagerank": _q_host_pagerank,
         "layer_simplify": _q_layer_simplify,
         "layer_area_perimeter": _q_layer_stats,
         "layer_hulls": _q_layer_hulls,
@@ -1917,6 +1951,57 @@ def oracle_sql() -> dict[str, str]:
         FROM {_PG}, range(0, 8) r(k)
         WHERE k < least(8, CAST(floor(octet_length(html) / 64) AS BIGINT))
     """
+    # --- web link graph -----------------------------------------------------
+    _OL = (
+        "unnest(regexp_extract_all(decode(html), "
+        "'<link rel=\"outlink\" href=\"([^\"]+)\">', 1)) AS l(ol)"
+    )
+
+    def _h(col: str) -> str:
+        return (
+            "regexp_replace(regexp_replace(lower("
+            f"regexp_extract({col}, '//([^/:?#]+)', 1)), '\\.$', ''), '^www\\.', '')"
+        )
+
+    sql["outlink_edges"] = f"SELECT url, l.ol AS outlink FROM {_PG}, {_OL}"
+    _LG = (
+        f"SELECT {_h('url')} AS src_host, {_h('l.ol')} AS dst_host, "
+        f"count(*) AS n_links FROM {_PG}, {_OL} GROUP BY 1, 2"
+    )
+    sql["host_linkgraph"] = _LG
+    # PageRank: the engine's fixed-iteration recurrence unrolled as CTEs
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, which makes a 10-stage recurrence referencing its
+    # predecessor twice exponential to evaluate
+    _pr = [
+        f"WITH edges AS MATERIALIZED ({_LG}),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT host FROM"
+        f" (SELECT {_h('url')} AS host FROM {_PG}"
+        " UNION SELECT dst_host FROM edges)),",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),",
+        "outw AS MATERIALIZED (SELECT src_host, SUM(n_links) AS ow FROM edges GROUP BY 1),",
+        "w AS MATERIALIZED (SELECT e.src_host, e.dst_host, e.n_links * 1.0 / o.ow AS frac"
+        " FROM edges e JOIN outw o USING (src_host)),",
+        "r0 AS MATERIALIZED (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),",
+    ]
+    for t in range(1, 11):
+        p = t - 1
+        _pr.append(
+            f"d{t} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dm FROM r{p}"
+            " WHERE host NOT IN (SELECT src_host FROM outw)),"
+        )
+        _pr.append(
+            f"c{t} AS MATERIALIZED (SELECT w.dst_host AS host, SUM(r.rank * w.frac) AS cin"
+            f" FROM w JOIN r{p} r ON r.host = w.src_host GROUP BY 1),"
+        )
+        _pr.append(
+            f"r{t} AS MATERIALIZED (SELECT n.host,"
+            " (1.0 - 0.85) / (SELECT n FROM nn)"
+            f" + 0.85 * (COALESCE(c.cin, 0) + (SELECT dm FROM d{t}) / (SELECT n FROM nn))"
+            f" AS rank FROM nodes n LEFT JOIN c{t} c ON c.host = n.host),"
+        )
+    _pr.append("fin AS (SELECT host, rank FROM r10) SELECT * FROM fin")
+    sql["host_pagerank"] = "\n".join(_pr)
     # --- relational --------------------------------------------------------
     sql["line_dedup"] = """
         WITH src AS (

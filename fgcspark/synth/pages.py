@@ -511,6 +511,18 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
             meta.append(f'<meta name="geo.position" content="{lat_s[i]};{lon_s[i]}">')
         if footprints[i] is not None:
             meta.append(f'<meta name="fgc.footprint" content="{footprints[i]}">')
+        # deterministic outlink graph in the HEAD (invisible to body/text
+        # extraction, so every pre-existing golden is unchanged): page i
+        # carries i % 4 links; 9/10 targets land on hosts 0-99 (hub skew),
+        # the rest anywhere; pages with i % 4 == 0 emit nothing, so hosts
+        # whose pages all hit that branch are dangling (no out-edges)
+        for j in range(i % 4):
+            mod = 100 if (i + j) % 10 else 1000
+            tgt = (i * 31 + j * 57 + 11) % mod
+            meta.append(
+                f'<link rel="outlink" href="https://site{tgt}.example'
+                f"/fi/page/{(i * 13 + j * 7) % 100000}\">"
+            )
         htmls.append(
             f"<html><head>{''.join(meta)}</head><body>{texts[i]}</body></html>".encode()
         )
