@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "line_dedup",
     "decontaminate",
     "pii_scrub",
+    "dbscan_cells",
+    "focal_density",
+    "outlink_edges",
+    "host_linkgraph",
+    "host_pagerank",
 ]
 
 
