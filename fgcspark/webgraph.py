@@ -95,10 +95,11 @@ def pagerank(
     )
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
-        dangling = (
-            ranks.where(~F.col("_has_out"))
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .collect()[0]["d"]
+        # dangling mass rides the plan as a broadcast 1-row aggregate —
+        # no driver collect, so each iteration is exactly ONE job (the
+        # eager localCheckpoint below)
+        dangling = ranks.where(~F.col("_has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contrib = (
             w.join(
@@ -110,12 +111,16 @@ def pagerank(
         new_ranks = (
             ranks.select("host", "_has_out")
             .join(contrib, "host", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "host",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("_in", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce("_in", F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n_nodes))
+                    )
                 ).alias("rank"),
                 "_has_out",
             )
