@@ -219,16 +219,20 @@ def _q_focal_density(spark, sf_dir):
 
 
 def _q_dbscan_cells(spark, sf_dir):
-    """Grid DBSCAN (50 km cells, min_pts=30): contiguous dense regions
-    of the grid — core cells labelled by frontier min-label propagation
-    over the 8-neighborhood, border cells deterministically assigned to
-    the minimum adjacent cluster. Oracle: recursive-CTE transitive
-    closure of the same adjacency in DuckDB."""
+    """Grid DBSCAN (50 km cells, density threshold 0.3 % of the corpus
+    — exactly 30 docs/cell at the oracle scale): contiguous dense
+    regions of the grid — core cells labelled by frontier min-label
+    propagation over the 8-neighborhood, border cells deterministically
+    assigned to the minimum adjacent cluster. The fractional threshold
+    keeps the cluster structure (and round count) scale-invariant when
+    the same geography carries 10-1000x the documents. Oracle:
+    recursive-CTE transitive closure of the same adjacency in DuckDB
+    (min_pts = 30 at sf0.01 by construction)."""
     from fgcspark.cells.dbscan import dbscan_cells
     from fgcspark.pipeline import pages_to_points
 
     pts = pages_to_points(spark, _geo_dir(sf_dir))
-    return dbscan_cells(pts, size_km=50, min_pts=30)
+    return dbscan_cells(pts, size_km=50, min_pts=None, min_frac=0.003)
 
 
 def _q_top_hosts_per_cell(spark, sf_dir):

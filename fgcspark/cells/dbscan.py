@@ -51,11 +51,22 @@ _OFFSETS = [(dn, de) for dn in (-1, 0, 1) for de in (-1, 0, 1) if (dn, de) != (0
 def dbscan_cells(
     points: DataFrame,
     size_km: int = 50,
-    min_pts: int = 30,
+    min_pts: int | None = 30,
+    min_frac: float | None = None,
     max_iter: int = 25,
 ) -> DataFrame:
     """DBSCAN over grid cells. `points` must carry a ``cell_{size_km}km``
     column ('{nb}:{eb}' ids as produced by ``pipeline.pages_to_points``).
+
+    Density threshold: either an absolute `min_pts`, or `min_frac` — a
+    FRACTION of the total document count (threshold = round(frac * N),
+    min 2). The fractional form keeps the cluster structure
+    scale-invariant when the same geography carries 10x the documents:
+    an absolute threshold degenerates to "every occupied cell is core"
+    as density grows, whose single giant component needs
+    O(geography diameter) label-propagation rounds. The total comes
+    from one sum over the (tiny) per-cell aggregate, not a second scan
+    of the document table.
 
     Returns (cell, n_docs, role, cluster): role in ('core', 'border'),
     cluster = min packed key (nb << 20 | eb) among the cluster's core
@@ -65,6 +76,10 @@ def dbscan_cells(
     counts = points.groupBy(F.col(cell_col).alias("cell")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    if min_frac is not None:
+        counts = counts.persist()
+        total = counts.agg(F.sum("n_docs").alias("t")).collect()[0]["t"] or 0
+        min_pts = max(2, int(round(min_frac * total)))
     parts = counts.select(
         "cell",
         "n_docs",
@@ -129,4 +144,6 @@ def dbscan_cells(
         out = out.localCheckpoint()
     finally:
         core.unpersist()
+        if min_frac is not None:
+            counts.unpersist()
     return out
