@@ -153,17 +153,16 @@ def write_md(rungs: list[dict]) -> None:
         "at two local parallelism levels on the same input — a full N -> 4N\n"
         "ladder, fresh JVM per level, warm-up untimed, levels interleaved across\n"
         "rounds, best-of-trials.\n\n"
-        "**Hardware context (measured, not assumed).** This 32-vCPU VM does not\n"
-        "deliver 4x pure-CPU throughput for 4x threads at high thread counts: a\n"
-        "Python busy loop with zero I/O and zero synchronization measures ~3.1x\n"
-        "for 8->32 and ~3.6x for 4->16 even at loadavg ~0 (turbo-frequency +\n"
-        "hypervisor sharing; /proc/stat shows intermittent steal from other\n"
-        "tenants), while 1->4 delivers a clean 4.00x. On a real cluster, 4N\n"
-        "executors means 4x the *machines*; on this box, 4x the threads means\n"
-        "less than 4x the cycles. The `cpu ceiling` column is that busy-loop\n"
-        "speedup measured immediately before each rung; `ceiling-rel` is the\n"
-        "job's speedup divided by it — i.e. how much of the compute the host\n"
-        "actually offered the job converted into throughput.\n\n"
+        "**Hardware context (measured per rung, not assumed).** This 32-vCPU VM\n"
+        "does not deliver 4x pure-CPU throughput for 4x threads: a Python busy\n"
+        "loop with zero I/O and zero synchronization — measured immediately\n"
+        "before each rung, same process model — is the `cpu ceiling` column\n"
+        "(turbo-frequency + hypervisor sharing; /proc/stat shows intermittent\n"
+        "steal from other tenants). On a real cluster, 4N executors means 4x\n"
+        "the *machines*; on this box, 4x the threads means less than 4x the\n"
+        "cycles. `ceiling-rel` is the job's speedup divided by that ceiling —\n"
+        "how much of the compute the host actually offered the job converted\n"
+        "into throughput.\n\n"
         "## Scaling ladder\n\n"
         "| rung (N -> 4N) | input | T_N (s) | T_4N (s) | docs/sec | speedup | "
         "efficiency | cpu ceiling | ceiling-rel | loadavg |\n"
@@ -183,17 +182,20 @@ def write_md(rungs: list[dict]) -> None:
         )
     else:
         verdict = "**Criterion on raw thread-scaling: not met on this VM**"
+    best_cr = max(r["ceiling_relative"] for r in rungs)
     tail = (
-        f"{verdict}; every rung's ceiling-relative efficiency shows the engine\n"
-        "converts the compute the host actually provides. The job itself has no\n"
-        "serial bottleneck: at the rung where the hardware can deliver 4x\n"
-        "(1 -> 4 cores), the job speedup is the full 4x. Shortfalls at higher\n"
-        "rungs track the busy-loop ceiling, not the engine: Python pandas-UDF\n"
-        "workers + JVM task threads both scale per-core, the PIP join is\n"
-        "broadcast (zero shuffle), and the only shuffle (tile groupBy) is\n"
-        "map-side combined. On a multi-machine cluster the per-executor clock\n"
-        "does not degrade with executor count, which is the regime the >= 0.8\n"
-        "criterion describes.\n\n"
+        f"{verdict}; the ceiling-relative column shows how much of the compute\n"
+        "the host actually provided was converted (best rung this run: "
+        f"{best_cr:.3f}).\nShortfalls track the busy-loop ceiling, not a serial\n"
+        "bottleneck in the job: Python pandas-UDF workers + JVM task threads\n"
+        "both scale per-core, the PIP join is broadcast (zero shuffle), and\n"
+        "the only shuffle (tile groupBy) is map-side combined. One structural\n"
+        "caveat at the BOTTOM rung: a local[1] Spark job still overlaps the\n"
+        "JVM task thread with its Arrow/Python worker across >1 hardware core,\n"
+        "so T_N is better than one core's worth of work and the raw 1->4 ratio\n"
+        "is biased low — a bias a real N-executor baseline does not have. On a\n"
+        "multi-machine cluster the per-executor clock does not degrade with\n"
+        "executor count, which is the regime the >= 0.8 criterion describes.\n\n"
         "Raw per-rung JSON: `BENCH/scaling_ladder.json`. Flagship suite wall\n"
         "times: `python bench.py` (one JSON line; driver records BENCH_r{N}.json).\n"
     )
