@@ -434,6 +434,40 @@ def _q_geohash_counts(spark, sf_dir):
     )
 
 
+def _q_quadkey(spark, sf_dir):
+    """Web-Mercator quadkey (z=12, ~10 km tiles) of each
+    coordinate-carrying page — the slippy-map cell family next to
+    geohash. Zero-Python plan; the oracle runs the identical Mercator
+    formula (fgcspark/cells/quadkey.py quadkey_sql), so parity is
+    exact up to the documented boundary-ulp of libm tan/cos/ln."""
+    from fgcspark.cells.quadkey import quadkey
+    from fgcspark.extract import with_extracted
+    from fgcspark.pipeline import load_pages
+
+    df = with_extracted(load_pages(spark, _geo_dir(sf_dir)))
+    return df.where(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
+        "url", quadkey(F.col("lon"), F.col("lat"), 12).alias("qk12")
+    )
+
+
+def _q_quadkey_rollup(spark, sf_dir):
+    """Tile counts at z=10 derived from the z=12 key by PREFIX SLICE —
+    the quadkey hierarchy makes parent rollup a substring, not a
+    re-projection, so a 100 TB multi-zoom pyramid is one scan plus
+    arithmetic. The oracle substrings the same z=12 formula."""
+    from fgcspark.cells.quadkey import parent_key, quadkey
+    from fgcspark.extract import with_extracted
+    from fgcspark.pipeline import load_pages
+
+    df = with_extracted(load_pages(spark, _geo_dir(sf_dir)))
+    q12 = quadkey(F.col("lon"), F.col("lat"), 12)
+    return (
+        df.where(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .groupBy(parent_key(q12, 12, 2).alias("qk10"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q_hex_cells(spark, sf_dir):
     """Planar H3-style hex index (pointy-top, 5 km circumradius) over
     the TM35FIN plane — the hexagonal half of the north_star's 'H3/S2
@@ -1356,6 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": _q_remove_dup_spans,
         "unigram_logprob": _q_unigram_logprob,
         "occ_facts_typed": _q_occ_facts_typed,
+        "quadkey_z12": _q_quadkey,
+        "quadkey_rollup_z10": _q_quadkey_rollup,
         "dbscan_cells": _q_dbscan_cells,
         "focal_density": _q_focal_density,
         "outlink_edges": _q_outlink_edges,
@@ -1724,6 +1760,19 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["geohash_counts_p5"] = (
         f"SELECT {_gh_sql(_glon, _glat, 5)} AS gh5, count(*) AS n_docs FROM {_TR} "
+        "WHERE lon_s IS NOT NULL AND lat_s IS NOT NULL GROUP BY 1"
+    )
+    from fgcspark.cells.quadkey import quadkey_sql as _qk_sql
+
+    _qk12 = _qk_sql(_glon, _glat, 12)
+    sql["quadkey_z12"] = (
+        f"SELECT url, {_qk12} AS qk12 FROM {_TR} "
+        "WHERE lon_s IS NOT NULL AND lat_s IS NOT NULL"
+    )
+    # z=10 derived by prefix slice of the SAME z=12 formula, mirroring
+    # the engine's substring rollup (not an independent z=10 projection)
+    sql["quadkey_rollup_z10"] = (
+        f"SELECT substring({_qk12}, 1, 10) AS qk10, count(*) AS n_docs FROM {_TR} "
         "WHERE lon_s IS NOT NULL AND lat_s IS NOT NULL GROUP BY 1"
     )
     # hex axial id re-derived in SQL from the module's own SQL twin

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "s2_cell_counts_l10",
     "hex_cell_counts",
     "geohash_counts_p5",
+    "quadkey_rollup_z10",
     "hex_ring_counts",
     "pip_join",
     "pip_counts",
