@@ -274,6 +274,26 @@ def _q_lang_cell_rollup(spark, sf_dir):
     )
 
 
+def _q_cell_terms(spark, sf_dir):
+    """Geo x webtext fusion: top-5 TF-IDF-distinctive terms per 50 km
+    cell (regional vocabulary drift / toponym mining). Scores rounded
+    to 6 decimals in BOTH engines before ranking so libm ulp can flip
+    neither the hash nor the order (the unigram_logprob contract)."""
+    from fgcspark.geotext import cell_distinctive_terms
+    from fgcspark.pipeline import pages_to_points
+
+    return cell_distinctive_terms(pages_to_points(spark, _geo_dir(sf_dir)), k=5)
+
+
+def _q_cell_lang_entropy(spark, sf_dir):
+    """Shannon entropy of the language mix per 50 km cell — the
+    linguistic-diversity surface over the map."""
+    from fgcspark.geotext import cell_lang_entropy
+    from fgcspark.pipeline import pages_to_points
+
+    return cell_lang_entropy(pages_to_points(spark, _geo_dir(sf_dir)))
+
+
 def _q_zorder(spark, sf_dir):
     """Morton/Z-order clustering key per page (1 km cells) — the sort
     key a clustered spatial write lays files out by. Pure integer
@@ -1392,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occ_facts_typed": _q_occ_facts_typed,
         "quadkey_z12": _q_quadkey,
         "quadkey_rollup_z10": _q_quadkey_rollup,
+        "cell_distinctive_terms": _q_cell_terms,
+        "cell_lang_entropy": _q_cell_lang_entropy,
         "dbscan_cells": _q_dbscan_cells,
         "focal_density": _q_focal_density,
         "outlink_edges": _q_outlink_edges,
@@ -1775,6 +1797,43 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT substring({_qk12}, 1, 10) AS qk10, count(*) AS n_docs FROM {_TR} "
         "WHERE lon_s IS NOT NULL AND lat_s IS NOT NULL GROUP BY 1"
     )
+    # geo x webtext fusion: same tf-idf formulation re-derived over the
+    # generator's truth cells; scores rounded before ranking (see
+    # fgcspark/geotext.py for the ulp contract)
+    sql["cell_distinctive_terms"] = f"""
+        WITH toks AS (
+            SELECT cell_50km AS cell, unnest(string_split(text, ' ')) AS term
+            FROM {_TR}
+        ),
+        tf AS (
+            SELECT cell, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY 1, 2
+        ),
+        cf AS (SELECT term, count(*) AS __cf FROM tf GROUP BY 1),
+        nc AS (SELECT count(DISTINCT cell) AS __nc FROM tf),
+        ranked AS (
+            SELECT cell, term, tf,
+                   round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) DESC,
+                                term ASC
+                   ) AS rank
+            FROM tf JOIN cf USING (term) CROSS JOIN nc
+        )
+        SELECT cell, term, tf, score, rank FROM ranked WHERE rank <= 5
+    """
+    sql["cell_lang_entropy"] = f"""
+        WITH cl AS (
+            SELECT cell_50km AS cell, lang, count(*) AS n FROM {_TR} GROUP BY 1, 2
+        ),
+        tot AS (SELECT cell, sum(n) AS n_docs FROM cl GROUP BY 1)
+        SELECT cl.cell AS cell, max(n_docs) AS n_docs, count(*) AS n_langs,
+               round(-sum((n / CAST(n_docs AS DOUBLE))
+                          * ln(n / CAST(n_docs AS DOUBLE))), 6) AS entropy
+        FROM cl JOIN tot ON cl.cell = tot.cell
+        GROUP BY 1
+    """
     # hex axial id re-derived in SQL from the module's own SQL twin
     # (identical literals/operator order; divergence surface is only
     # the generator-vs-engine e/n inputs, as for the km tiles)
