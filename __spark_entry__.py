@@ -294,6 +294,26 @@ def _q_cell_lang_entropy(spark, sf_dir):
     return cell_lang_entropy(pages_to_points(spark, _geo_dir(sf_dir)))
 
 
+def _q_species_range(spark, sf_dir):
+    """Entity range map: pages/cells/bbox per species token mentioned
+    in page text — 'species distribution from the web'. Exact
+    order-independent aggregates only (no fp-summation surface)."""
+    from fgcspark.geotext import entity_range
+    from fgcspark.pipeline import pages_to_points
+
+    return entity_range(pages_to_points(spark, _geo_dir(sf_dir)))
+
+
+def _q_species_cooccurrence(spark, sf_dir):
+    """Spatial co-occurrence: shared-50km-cell count per unordered
+    species pair, from the distinct presence table (post-aggregation
+    self-join — vocabulary-sized, not corpus-sized)."""
+    from fgcspark.geotext import entity_cooccurrence
+    from fgcspark.pipeline import pages_to_points
+
+    return entity_cooccurrence(pages_to_points(spark, _geo_dir(sf_dir)))
+
+
 def _q_zorder(spark, sf_dir):
     """Morton/Z-order clustering key per page (1 km cells) — the sort
     key a clustered spatial write lays files out by. Pure integer
@@ -1414,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_rollup_z10": _q_quadkey_rollup,
         "cell_distinctive_terms": _q_cell_terms,
         "cell_lang_entropy": _q_cell_lang_entropy,
+        "species_range": _q_species_range,
+        "species_cooccurrence": _q_species_cooccurrence,
         "dbscan_cells": _q_dbscan_cells,
         "focal_density": _q_focal_density,
         "outlink_edges": _q_outlink_edges,
@@ -1822,6 +1844,30 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN cf USING (term) CROSS JOIN nc
         )
         SELECT cell, term, tf, score, rank FROM ranked WHERE rank <= 5
+    """
+    sql["species_range"] = f"""
+        WITH m AS (
+            SELECT unnest(regexp_extract_all(text, 'species_\\d+')) AS entity,
+                   e, n, cell_50km
+            FROM {_TR}
+        )
+        SELECT entity, count(*) AS n_mentions,
+               count(DISTINCT cell_50km) AS n_cells,
+               round(min(e), 3) AS min_e, round(max(e), 3) AS max_e,
+               round(min(n), 3) AS min_n, round(max(n), 3) AS max_n
+        FROM m GROUP BY 1
+    """
+    sql["species_cooccurrence"] = f"""
+        WITH m AS (
+            SELECT unnest(regexp_extract_all(text, 'species_\\d+')) AS entity,
+                   cell_50km AS cell
+            FROM {_TR}
+        ),
+        pres AS (SELECT DISTINCT entity, cell FROM m)
+        SELECT a.entity AS entity_a, b.entity AS entity_b,
+               count(*) AS n_shared_cells
+        FROM pres a JOIN pres b ON a.cell = b.cell AND a.entity < b.entity
+        GROUP BY 1, 2
     """
     sql["cell_lang_entropy"] = f"""
         WITH cl AS (

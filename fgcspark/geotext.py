@@ -74,6 +74,87 @@ def cell_distinctive_terms(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def entity_mentions(
+    df: DataFrame,
+    pattern: str = r"species_\d+",
+    text_col: str = "text",
+    keep_cols: tuple = ("url", "e", "n", "cell_50km"),
+) -> DataFrame:
+    """Explode regex entity mentions out of page text — the geoparsing
+    primitive (one row per (page, mention), page geo columns carried
+    along). Pure codegen: regexp_extract_all + explode, no Python."""
+    return df.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).alias("entity"),
+    )
+
+
+def entity_range(
+    df: DataFrame,
+    pattern: str = r"species_\d+",
+    text_col: str = "text",
+    cell_col: str = "cell_50km",
+) -> DataFrame:
+    """Range map of each text-mentioned entity: how many mentions it
+    has, over how many grid cells, and its metric bounding box — the
+    'species distribution from the web' query (mirrors the reference's
+    occurrence-to-grid rollup, R/convert.R, but sourced from free text
+    instead of structured occurrence rows).
+
+    Only order-independent aggregates (count / count distinct /
+    min / max), so there is no floating-point summation surface; the
+    bbox edges are rounded to millimeters because the engine's
+    projected e/n and an independent oracle's can differ at the
+    O(1e-9 m) transcendental-ulp level (see pipeline.pages_to_points_jvm
+    docstring), and 1e-9 cannot cross a 1e-3 rounding boundary.
+
+    Scale shape: explode + ONE map-side-combined shuffle keyed by
+    entity; count(distinct cell) goes through Spark's two-phase expand
+    (partial distinct per task), bboxes are min/max partials. Entity
+    key space is vocabulary-sized, not corpus-sized."""
+    m = entity_mentions(df, pattern, text_col, ("url", "e", "n", cell_col))
+    return m.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct(cell_col).alias("n_cells"),
+        F.round(F.min("e"), 3).alias("min_e"),
+        F.round(F.max("e"), 3).alias("max_e"),
+        F.round(F.min("n"), 3).alias("min_n"),
+        F.round(F.max("n"), 3).alias("max_n"),
+    )
+
+
+def entity_cooccurrence(
+    df: DataFrame,
+    pattern: str = r"species_\d+",
+    text_col: str = "text",
+    cell_col: str = "cell_50km",
+) -> DataFrame:
+    """Spatial co-occurrence matrix: for each unordered entity pair,
+    the number of 50 km cells where BOTH are mentioned (range-overlap
+    strength). Returns (entity_a, entity_b, n_shared_cells) with
+    entity_a < entity_b.
+
+    Scale shape: reduce to the distinct (entity, cell) presence table
+    FIRST (vocabulary x cells, not corpus), then self-join on cell —
+    the fan-out per cell is (entities-in-cell choose 2), bounded by
+    local biodiversity, not page volume; the final pair agg is
+    map-side combined. This is the standard post-aggregation self-join
+    shape for co-occurrence at 100 TB."""
+    m = entity_mentions(df, pattern, text_col, (cell_col,))
+    pres = m.select("entity", F.col(cell_col).alias("cell")).distinct()
+    a = pres.alias("a")
+    b = pres.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.entity") < F.col("b.entity")))
+        .groupBy(
+            F.col("a.entity").alias("entity_a"), F.col("b.entity").alias("entity_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_cells"))
+    )
+
+
 def cell_lang_entropy(
     df: DataFrame,
     cell_col: str = "cell_50km",

@@ -7,7 +7,12 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from fgcspark.geotext import cell_distinctive_terms, cell_lang_entropy
+from fgcspark.geotext import (
+    cell_distinctive_terms,
+    cell_lang_entropy,
+    entity_cooccurrence,
+    entity_range,
+)
 
 ROWS = [
     # cell A: 'lake' twice (only here), 'the' everywhere
@@ -61,6 +66,50 @@ def test_entropy_hand_computed(df):
     assert out["B"].entropy == pytest.approx(round(math.log(2), 6), abs=1e-9)
     assert out["B"].n_docs == 2 and out["B"].n_langs == 2
     assert out["C"].entropy == 0.0
+
+
+ENT_ROWS = [
+    # (url, e, n, cell, text) — species_01 in cells A,B; species_02 in B only
+    ("u1", 100.0, 1000.0, "A", "doc species_01 observed"),
+    ("u2", 300.0, 1200.0, "B", "doc species_01 observed"),
+    ("u3", 200.0, 1100.0, "B", "doc species_02 twice species_02"),
+    ("u4", 400.0, 1300.0, "C", "no mention here"),
+]
+
+
+@pytest.fixture(scope="module")
+def edf(spark):
+    return spark.createDataFrame(
+        ENT_ROWS, "url string, e double, n double, cell_50km string, text string"
+    )
+
+
+def test_entity_range_hand_computed(edf):
+    out = {r.entity: r for r in entity_range(edf).collect()}
+    assert set(out) == {"species_01", "species_02"}
+    s1 = out["species_01"]
+    assert (s1.n_mentions, s1.n_cells) == (2, 2)
+    assert (s1.min_e, s1.max_e, s1.min_n, s1.max_n) == (100.0, 300.0, 1000.0, 1200.0)
+    s2 = out["species_02"]
+    assert (s2.n_cells, s2.min_e) == (1, 200.0)
+
+
+def test_entity_range_counts_mentions_per_row(edf):
+    # n_mentions counts mention rows (a page mentioning an entity twice
+    # contributes twice) — the documented explode semantics
+    out = {r.entity: r.n_mentions for r in entity_range(edf).collect()}
+    assert out["species_02"] == 2
+
+
+def test_entity_cooccurrence(edf):
+    rows = entity_cooccurrence(edf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.entity_a, r.entity_b, r.n_shared_cells) == (
+        "species_01",
+        "species_02",
+        1,
+    )
 
 
 def test_plan_shape(df):
