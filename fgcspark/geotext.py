@@ -37,10 +37,18 @@ def cell_distinctive_terms(
     the hash or the order.
 
     Scale shape (100 TB): the explode feeds ONE corpus-sized shuffle —
-    the map-side-combined (cell, term) count; everything downstream
-    operates on the aggregated table (vocabulary x cells, not volume).
-    Cell-frequency is a second hash agg of that table keyed by term;
-    N_cells is a 1-row aggregate cross-joined back (broadcast by
+    the map-side-combined (cell, term) count — and that aggregated
+    table (vocabulary x cells, not volume) is materialized once with an
+    eager localCheckpoint before fan-out: it has three consumers (the
+    idf join's left side, the per-term cell-frequency agg, and the
+    1-row N_cells agg), and Catalyst's column pruning specializes each
+    branch (e.g. drops the count from the cell-frequency subtree) so
+    the subplans never canonicalize equal and ReuseExchange cannot
+    dedup them — without the checkpoint the CORPUS would be scanned
+    once per consumer (measured: 3 scans). The dedup_clusters /
+    knn-driver-probe precedent for a build-time job. Downstream,
+    cell-frequency is a hash agg of the checkpointed table keyed by
+    term; N_cells is a 1-row aggregate cross-joined back (broadcast by
     construction, the PageRank dangling-mass idiom); the idf join is
     term-keyed over vocabulary-sized inputs, AQE-broadcast when the
     vocab fits. The rank filter plans as WindowGroupLimit, so per-task
@@ -52,6 +60,8 @@ def cell_distinctive_terms(
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("cell", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # one corpus pass: materialize vocab x cells before the 3-way fan-out
+    tf = tf.localCheckpoint(eager=True)
     cf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__cf"))
     nc = tf.agg(F.countDistinct("cell").alias("__nc"))
     scored = (
