@@ -1834,7 +1834,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_50km AS cell, unnest(string_split(text, ' ')) AS term
             FROM {_TR}
         ),
-        tf AS (
+        tf AS MATERIALIZED (
             SELECT cell, term, count(*) AS tf FROM toks
             WHERE term <> '' GROUP BY 1, 2
         ),
@@ -1843,11 +1843,11 @@ def oracle_sql() -> dict[str, str]:
         ranked AS (
             SELECT cell, term, tf,
                    round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) AS score,
-                   row_number() OVER (
+                   CAST(row_number() OVER (
                        PARTITION BY cell
                        ORDER BY round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) DESC,
                                 term ASC
-                   ) AS rank
+                   ) AS INT) AS rank
             FROM tf JOIN cf USING (term) CROSS JOIN nc
         )
         SELECT cell, term, tf, score, rank FROM ranked WHERE rank <= 5
@@ -1870,20 +1870,22 @@ def oracle_sql() -> dict[str, str]:
                    cell_50km AS cell
             FROM {_TR}
         ),
-        pres AS (SELECT DISTINCT entity, cell FROM m)
+        pres AS MATERIALIZED (SELECT DISTINCT entity, cell FROM m)
         SELECT a.entity AS entity_a, b.entity AS entity_b,
                count(*) AS n_shared_cells
         FROM pres a JOIN pres b ON a.cell = b.cell AND a.entity < b.entity
         GROUP BY 1, 2
     """
     sql["cell_lang_entropy"] = f"""
-        WITH cl AS (
+        WITH cl AS MATERIALIZED (
             SELECT cell_50km AS cell, lang, count(*) AS n FROM {_TR} GROUP BY 1, 2
         ),
-        tot AS (SELECT cell, sum(n) AS n_docs FROM cl GROUP BY 1)
+        tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_docs FROM cl GROUP BY 1)
         SELECT cl.cell AS cell, max(n_docs) AS n_docs, count(*) AS n_langs,
+               -- + 0.0 normalizes DuckDB's -0.0 (monolingual cells) to the
+               -- +0.0 Spark emits, keeping value serialization identical
                round(-sum((n / CAST(n_docs AS DOUBLE))
-                          * ln(n / CAST(n_docs AS DOUBLE))), 6) AS entropy
+                          * ln(n / CAST(n_docs AS DOUBLE))), 6) + 0.0 AS entropy
         FROM cl JOIN tot ON cl.cell = tot.cell
         GROUP BY 1
     """

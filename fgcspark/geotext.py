@@ -176,9 +176,19 @@ def cell_lang_entropy(
     uniform k-language mix. Returns (cell, n_docs, n_langs, entropy).
 
     Scale shape: one corpus shuffle to the (cell, lang) count, then a
-    cell-keyed agg of that small table; entropy is computed from the
-    aggregated counts as sum(-p ln p) with the same rounding contract
-    as cell_distinctive_terms.
+    cell-keyed agg of that small table.
+
+    Determinism note: unlike cell_distinctive_terms' score (a single
+    product, bitwise-deterministic per engine), entropy is a float SUM
+    over a cell's languages, and Spark's partial-aggregation order can
+    vary run to run — so this op has a residual ulp surface the
+    6-decimal rounding must absorb. The accumulated error is
+    ~n_langs * eps * |sum| ≈ 1e-15, against a 5e-7 rounding boundary:
+    a flip needs the true value within 1e-15 of a half-ulp-of-1e-6
+    edge, which the generator's rational p = n/n_docs values do not
+    manufacture. Kept as a documented weaker guarantee rather than a
+    collect-and-sort deterministic sum, which would serialize the
+    per-cell language lists for no behavioral gain.
     """
     cl = (
         df.select(F.col(cell_col).alias("cell"), F.col(lang_col).alias("lang"))

@@ -62,7 +62,10 @@ def test_spark_submit_pyfiles(tmp_path):
     if submit is None:
         pytest.skip("spark-submit not on PATH")
     sys.path.insert(0, str(REPO / "scripts"))
-    from make_pyfiles import build
+    try:
+        from make_pyfiles import build
+    finally:
+        sys.path.remove(str(REPO / "scripts"))
 
     zip_path = build(tmp_path / "fgcspark.zip")
     driver = tmp_path / "driver.py"
