@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "top_hosts_per_cell",
     "lang_cell_rollup",
     "token_percentiles",
+    "cell_distinctive_terms",
+    "cell_lang_entropy",
+    "species_range",
+    "species_cooccurrence",
     "facts_pivot",
     "latest_event_per_user",
     "events_asof_join",
