@@ -366,6 +366,79 @@ def check_dwithin_partitioned(spark, d: str) -> dict:
     return _pair_diff(eng, ref)
 
 
+def check_quadkey(spark, d: str) -> dict:
+    """Catalyst quadkey expression vs the scalar python twin
+    (math-module Mercator, independent of the Column arithmetic),
+    computed row-by-row in a pandas stage and diffed exactly."""
+    from fgcspark.cells.quadkey import quadkey, quadkey_py
+    from fgcspark.extract import with_extracted
+    from fgcspark.pipeline import load_pages
+
+    df = (
+        with_extracted(load_pages(spark, d))
+        .where("lon is not null and lat is not null")
+        .select("url", "lon", "lat", quadkey(F.col("lon"), F.col("lat"), 12).alias("qk"))
+    )
+
+    def twin(batches):
+        for b in batches:
+            ref = [quadkey_py(lo, la, 12) for lo, la in zip(b["lon"], b["lat"])]
+            yield pd.DataFrame(
+                {"n": [len(b)], "bad": [int((b["qk"] != pd.Series(ref)).sum())]}
+            )
+
+    agg = (
+        df.mapInPandas(twin, "n long, bad long")
+        .agg(F.sum("n").alias("rows"), F.sum("bad").alias("mismatch"))
+        .collect()[0]
+    )
+    return {"rows": agg["rows"], "mismatch": agg["mismatch"]}
+
+
+def check_fusion(spark, d: str) -> dict:
+    """cell_distinctive_terms at scale vs a DuckDB re-derivation over
+    the generator's truth table (same formulation as the contract
+    oracle, run on this scale's corpus) — exact set equality of
+    (cell, term, tf, score, rank)."""
+    import duckdb
+
+    from fgcspark.geotext import cell_distinctive_terms
+    from fgcspark.pipeline import pages_to_points
+
+    eng = {
+        (r.cell, r.term, r.tf, r.score, r.rank)
+        for r in cell_distinctive_terms(pages_to_points(spark, d), k=5).collect()
+    }
+    want = set(
+        duckdb.execute(
+            f"""
+        WITH toks AS (
+            SELECT cell_50km AS cell, unnest(string_split(text, ' ')) AS term
+            FROM read_parquet('{d}/truth.parquet')
+        ),
+        tf AS MATERIALIZED (
+            SELECT cell, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY 1, 2
+        ),
+        cf AS (SELECT term, count(*) AS __cf FROM tf GROUP BY 1),
+        nc AS (SELECT count(DISTINCT cell) AS __nc FROM tf),
+        ranked AS (
+            SELECT cell, term, tf,
+                   round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) DESC,
+                                term ASC
+                   ) AS INT) AS rank
+            FROM tf JOIN cf USING (term) CROSS JOIN nc
+        )
+        SELECT cell, term, tf, score, rank FROM ranked WHERE rank <= 5
+        """
+        ).fetchall()
+    )
+    return {"rows": len(eng | want), "mismatch": len(eng ^ want)}
+
+
 CHECKS = {
     "text": check_text,
     "tiles": check_tiles,
@@ -375,6 +448,8 @@ CHECKS = {
     "knn_part": check_knn_partitioned,
     "fp_part": check_fp_partitioned,
     "dwithin_part": check_dwithin_partitioned,
+    "quadkey": check_quadkey,
+    "fusion": check_fusion,
 }
 
 
