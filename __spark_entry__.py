@@ -304,6 +304,26 @@ def _q_species_range(spark, sf_dir):
     return entity_range(pages_to_points(spark, _geo_dir(sf_dir)))
 
 
+def _q_getis_ord(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-scores over the 10 km tile raster —
+    'where is web activity anomalously clustered'. All spatial sums
+    are exact integer aggregates; the z-score is one closed-form
+    scalar per cell, rounded to 6 decimals in both engines."""
+    from fgcspark.hotspots import getis_ord
+    from fgcspark.pipeline import pages_to_points
+
+    return getis_ord(pages_to_points(spark, _geo_dir(sf_dir)), size_km=10)
+
+
+def _q_morans_i(spark, sf_dir):
+    """Global Moran's I of the 10 km raster under queen weights,
+    reduced to integer pair-aggregates (no float accumulation)."""
+    from fgcspark.hotspots import morans_i
+    from fgcspark.pipeline import pages_to_points
+
+    return morans_i(pages_to_points(spark, _geo_dir(sf_dir)), size_km=10)
+
+
 def _q_species_cooccurrence(spark, sf_dir):
     """Spatial co-occurrence: shared-50km-cell count per unordered
     species pair, from the distinct presence table (post-aggregation
@@ -1446,9 +1466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "layer_simplify": _q_layer_simplify,
         # --- slots 51+: locally gated each round; either r3-hash-green or
-        # (species_cooccurrence, layer goldens) deterministic golden-file /
-        # certified-twin oracles where the local gate equals the driver's
+        # late-round-4 additions (species_cooccurrence, hotspots) whose
+        # driver rows arrive with the round-5 rotation
         "species_cooccurrence": _q_species_cooccurrence,
+        "getis_ord_gi10": _q_getis_ord,
+        "morans_i_10km": _q_morans_i,
         "layer_area_perimeter": _q_layer_stats,
         "layer_hulls": _q_layer_hulls,
         "occ_archive_load": _q_occ_archive_load,
@@ -1875,6 +1897,54 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_shared_cells
         FROM pres a JOIN pres b ON a.cell = b.cell AND a.entity < b.entity
         GROUP BY 1, 2
+    """
+    # spatial autocorrelation: same integer-exact formulation; the 3x3
+    # window (incl. self for Gi*) enumerated as a VALUES offset table,
+    # float ops mirror the engine's operator order verbatim
+    _hot_cells = f"""
+        c AS MATERIALIZED (
+            SELECT cell_10km AS cell, count(*) AS x,
+                   (CAST(string_split(cell_10km, ':')[1] AS BIGINT) << 20)
+                   + CAST(string_split(cell_10km, ':')[2] AS BIGINT) AS k
+            FROM {_TR} GROUP BY 1
+        )
+    """
+    sql["getis_ord_gi10"] = f"""
+        WITH {_hot_cells},
+        offs(dn, de) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                                (1,-1),(1,0),(1,1)),
+        hood AS (
+            SELECT a.k AS ki, count(*) AS w,
+                   CAST(sum(b.x) AS BIGINT) AS neighbor_sum
+            FROM c a CROSS JOIN offs o
+            JOIN c b ON b.k = a.k + (o.dn * (1 << 20)) + o.de
+            GROUP BY 1
+        ),
+        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
+        SELECT a.cell, a.x AS n_docs, h.w, h.neighbor_sum,
+               round((h.neighbor_sum - (sx / n) * h.w)
+                     / (sqrt(sxx / n - (sx / n) * (sx / n))
+                        * sqrt((n * h.w - h.w * h.w) / (n - 1))), 6) AS gi_star
+        FROM c a JOIN hood h ON h.ki = a.k CROSS JOIN g
+    """
+    sql["morans_i_10km"] = f"""
+        WITH {_hot_cells},
+        offs(dn, de) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                (1,-1),(1,0),(1,1)),
+        pairs AS (
+            SELECT count(*) AS w, CAST(sum(a.x * b.x) AS BIGINT) AS p,
+                   CAST(sum(a.x) AS BIGINT) AS s2
+            FROM c a CROSS JOIN offs o
+            JOIN c b ON b.k = a.k + (o.dn * (1 << 20)) + o.de
+        ),
+        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
+        SELECT n AS n_cells, w AS w_pairs,
+               round((n / w) * (p - 2.0 * (sx / n) * s2
+                                + (sx / n) * (sx / n) * w)
+                     / (sxx - n * (sx / n) * (sx / n)), 6) AS morans_i
+        FROM pairs CROSS JOIN g
     """
     sql["cell_lang_entropy"] = f"""
         WITH cl AS MATERIALIZED (

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_scrub",
     "dbscan_cells",
+    "getis_ord_gi10",
     "focal_density",
     "outlink_edges",
     "host_linkgraph",
