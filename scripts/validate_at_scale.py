@@ -439,6 +439,50 @@ def check_fusion(spark, d: str) -> dict:
     return {"rows": len(eng | want), "mismatch": len(eng ^ want)}
 
 
+def check_hotspots(spark, d: str) -> dict:
+    """Getis-Ord Gi* at scale vs a DuckDB re-derivation over the truth
+    table (same integer-exact formulation as the contract oracle) —
+    exact set equality of (cell, n_docs, w, neighbor_sum, gi_star)."""
+    import duckdb
+
+    from fgcspark.hotspots import getis_ord
+    from fgcspark.pipeline import pages_to_points
+
+    eng = {
+        (r.cell, r.n_docs, r.w, r.neighbor_sum, r.gi_star)
+        for r in getis_ord(pages_to_points(spark, d), size_km=10).collect()
+    }
+    want = set(
+        duckdb.execute(
+            f"""
+        WITH c AS MATERIALIZED (
+            SELECT cell_10km AS cell, count(*) AS x,
+                   (CAST(string_split(cell_10km, ':')[1] AS BIGINT) << 20)
+                   + CAST(string_split(cell_10km, ':')[2] AS BIGINT) AS k
+            FROM read_parquet('{d}/truth.parquet') GROUP BY 1
+        ),
+        offs(dn, de) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                                (1,-1),(1,0),(1,1)),
+        hood AS (
+            SELECT a.k AS ki, count(*) AS w,
+                   CAST(sum(b.x) AS BIGINT) AS neighbor_sum
+            FROM c a CROSS JOIN offs o
+            JOIN c b ON b.k = a.k + (o.dn * (1 << 20)) + o.de
+            GROUP BY 1
+        ),
+        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
+        SELECT a.cell, a.x, h.w, h.neighbor_sum,
+               round((h.neighbor_sum - (sx / n) * h.w)
+                     / (sqrt(sxx / n - (sx / n) * (sx / n))
+                        * sqrt((n * h.w - h.w * h.w) / (n - 1))), 6)
+        FROM c a JOIN hood h ON h.ki = a.k CROSS JOIN g
+        """
+        ).fetchall()
+    )
+    return {"rows": len(eng | want), "mismatch": len(eng ^ want)}
+
+
 CHECKS = {
     "text": check_text,
     "tiles": check_tiles,
@@ -450,6 +494,7 @@ CHECKS = {
     "dwithin_part": check_dwithin_partitioned,
     "quadkey": check_quadkey,
     "fusion": check_fusion,
+    "hotspots": check_hotspots,
 }
 
 
