@@ -1848,32 +1848,12 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT substring({_qk12}, 1, 10) AS qk10, count(*) AS n_docs FROM {_TR} "
         "WHERE lon_s IS NOT NULL AND lat_s IS NOT NULL GROUP BY 1"
     )
-    # geo x webtext fusion: same tf-idf formulation re-derived over the
-    # generator's truth cells; scores rounded before ranking (see
+    # geo x webtext fusion: the op's module owns its SQL twin (the
+    # cells/geohash precedent); scores rounded before ranking (see
     # fgcspark/geotext.py for the ulp contract)
-    sql["cell_distinctive_terms"] = f"""
-        WITH toks AS (
-            SELECT cell_50km AS cell, unnest(string_split(text, ' ')) AS term
-            FROM {_TR}
-        ),
-        tf AS MATERIALIZED (
-            SELECT cell, term, count(*) AS tf FROM toks
-            WHERE term <> '' GROUP BY 1, 2
-        ),
-        cf AS (SELECT term, count(*) AS __cf FROM tf GROUP BY 1),
-        nc AS (SELECT count(DISTINCT cell) AS __nc FROM tf),
-        ranked AS (
-            SELECT cell, term, tf,
-                   round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) AS score,
-                   CAST(row_number() OVER (
-                       PARTITION BY cell
-                       ORDER BY round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) DESC,
-                                term ASC
-                   ) AS INT) AS rank
-            FROM tf JOIN cf USING (term) CROSS JOIN nc
-        )
-        SELECT cell, term, tf, score, rank FROM ranked WHERE rank <= 5
-    """
+    from fgcspark.geotext import cell_distinctive_terms_oracle_sql as _tfidf_sql
+
+    sql["cell_distinctive_terms"] = _tfidf_sql(_TR, k=5)
     sql["species_range"] = f"""
         WITH m AS (
             SELECT unnest(regexp_extract_all(text, 'species_\\d+')) AS entity,
@@ -1898,54 +1878,12 @@ def oracle_sql() -> dict[str, str]:
         FROM pres a JOIN pres b ON a.cell = b.cell AND a.entity < b.entity
         GROUP BY 1, 2
     """
-    # spatial autocorrelation: same integer-exact formulation; the 3x3
-    # window (incl. self for Gi*) enumerated as a VALUES offset table,
-    # float ops mirror the engine's operator order verbatim
-    _hot_cells = f"""
-        c AS MATERIALIZED (
-            SELECT cell_10km AS cell, count(*) AS x,
-                   (CAST(string_split(cell_10km, ':')[1] AS BIGINT) << 20)
-                   + CAST(string_split(cell_10km, ':')[2] AS BIGINT) AS k
-            FROM {_TR} GROUP BY 1
-        )
-    """
-    sql["getis_ord_gi10"] = f"""
-        WITH {_hot_cells},
-        offs(dn, de) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
-                                (1,-1),(1,0),(1,1)),
-        hood AS (
-            SELECT a.k AS ki, count(*) AS w,
-                   CAST(sum(b.x) AS BIGINT) AS neighbor_sum
-            FROM c a CROSS JOIN offs o
-            JOIN c b ON b.k = a.k + (o.dn * (1 << 20)) + o.de
-            GROUP BY 1
-        ),
-        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-                     CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
-        SELECT a.cell, a.x AS n_docs, h.w, h.neighbor_sum,
-               round((h.neighbor_sum - (sx / n) * h.w)
-                     / (sqrt(sxx / n - (sx / n) * (sx / n))
-                        * sqrt((n * h.w - h.w * h.w) / (n - 1))), 6) AS gi_star
-        FROM c a JOIN hood h ON h.ki = a.k CROSS JOIN g
-    """
-    sql["morans_i_10km"] = f"""
-        WITH {_hot_cells},
-        offs(dn, de) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
-                                (1,-1),(1,0),(1,1)),
-        pairs AS (
-            SELECT count(*) AS w, CAST(sum(a.x * b.x) AS BIGINT) AS p,
-                   CAST(sum(a.x) AS BIGINT) AS s2
-            FROM c a CROSS JOIN offs o
-            JOIN c b ON b.k = a.k + (o.dn * (1 << 20)) + o.de
-        ),
-        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-                     CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
-        SELECT n AS n_cells, w AS w_pairs,
-               round((n / w) * (p - 2.0 * (sx / n) * s2
-                                + (sx / n) * (sx / n) * w)
-                     / (sxx - n * (sx / n) * (sx / n)), 6) AS morans_i
-        FROM pairs CROSS JOIN g
-    """
+    # spatial autocorrelation: the op's module owns both SQL twins
+    from fgcspark.hotspots import getis_ord_oracle_sql as _gi_sql
+    from fgcspark.hotspots import morans_i_oracle_sql as _mi_sql
+
+    sql["getis_ord_gi10"] = _gi_sql(_TR)
+    sql["morans_i_10km"] = _mi_sql(_TR)
     sql["cell_lang_entropy"] = f"""
         WITH cl AS MATERIALIZED (
             SELECT cell_50km AS cell, lang, count(*) AS n FROM {_TR} GROUP BY 1, 2

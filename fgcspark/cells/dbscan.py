@@ -37,15 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fgcspark.cc import connected_components
-
-_KEY_SHIFT = 20  # matches cells/grid.py cell_key: (nb << 20) | eb
-
-
-def _packed(nb, eb):
-    return nb * F.lit(1 << _KEY_SHIFT) + eb
-
-
-_OFFSETS = [(dn, de) for dn in (-1, 0, 1) for de in (-1, 0, 1) if (dn, de) != (0, 0)]
+from fgcspark.cells.grid import QUEEN_OFFSETS as _OFFSETS
+from fgcspark.cells.grid import packed_from_buckets as _packed
 
 
 def dbscan_cells(

@@ -17,6 +17,40 @@ from pyspark.sql import functions as F
 
 SIZES_KM = (1, 10, 50, 100)
 
+# packed-long key layout shared by cell_key and the neighbor-join ops
+# (dbscan, hotspots): (nb << KEY_SHIFT) | eb; 20 bits >> any
+# terrestrial bucket count
+KEY_SHIFT = 20
+
+# queen contiguity on the square grid: the 8 surrounding cells
+QUEEN_OFFSETS = [
+    (dn, de) for dn in (-1, 0, 1) for de in (-1, 0, 1) if (dn, de) != (0, 0)
+]
+
+
+def packed_from_buckets(nb, eb) -> Column:
+    """The packed long key of integer bucket columns (nb, eb)."""
+    return nb * F.lit(1 << KEY_SHIFT) + eb
+
+
+def packed_from_id(cell: Column) -> Column:
+    """The packed long key of a '{nb}:{eb}' cell-id string."""
+    return packed_from_buckets(
+        F.split(cell, ":")[0].cast("long"), F.split(cell, ":")[1].cast("long")
+    )
+
+
+def packed_neighbor(key: Column, dn, de) -> Column:
+    """The packed key displaced by (dn, de) grid steps."""
+    return key + dn * F.lit(1 << KEY_SHIFT) + de
+
+
+def offsets_array_col(offsets=QUEEN_OFFSETS) -> Column:
+    """The offset list as an array<struct<dn,de>> literal for explode."""
+    return F.array(
+        *[F.struct(F.lit(dn).alias("dn"), F.lit(de).alias("de")) for dn, de in offsets]
+    )
+
 
 def cell_id(easting: Column, northing: Column, size_km: int) -> Column:
     """String cell id '{kmN_bucket}:{kmE_bucket}' for a tile size."""

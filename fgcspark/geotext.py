@@ -84,6 +84,42 @@ def cell_distinctive_terms(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def cell_distinctive_terms_oracle_sql(
+    table_expr: str,
+    k: int = 5,
+    cell_col: str = "cell_50km",
+    text_col: str = "text",
+) -> str:
+    """ANSI/DuckDB twin of cell_distinctive_terms (same smoothing, same
+    6-decimal round-before-rank contract). Owned here so the contract
+    oracle and the at-scale validator share one formulation; tf is
+    multi-referenced, hence AS MATERIALIZED (DuckDB inlines plain CTEs
+    per reference)."""
+    return f"""
+        WITH toks AS (
+            SELECT {cell_col} AS cell, unnest(string_split({text_col}, ' ')) AS term
+            FROM {table_expr}
+        ),
+        tf AS MATERIALIZED (
+            SELECT cell, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY 1, 2
+        ),
+        cf AS (SELECT term, count(*) AS __cf FROM tf GROUP BY 1),
+        nc AS (SELECT count(DISTINCT cell) AS __nc FROM tf),
+        ranked AS (
+            SELECT cell, term, tf,
+                   round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) DESC,
+                                term ASC
+                   ) AS INT) AS rank
+            FROM tf JOIN cf USING (term) CROSS JOIN nc
+        )
+        SELECT cell, term, tf, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def entity_mentions(
     df: DataFrame,
     pattern: str = r"species_\d+",

@@ -17,11 +17,16 @@ to libm ulp and the 6-decimal rounding contract absorbs. This is the
 entity_range stance extended to second-order statistics.
 
 Scale shape (100 TB): one corpus-sized shuffle into the per-cell count
-(map-side combined); the neighbor structure is an 8-offset explode of
-the AGGREGATED cell table equi-joined back on the packed long key (the
-dbscan idiom — occupied-cells-sized, not corpus-sized); global moments
-are a broadcast 1-row aggregate of integer sums (the PageRank
-dangling-mass idiom). No windows, no driver loops, no Python.
+(map-side combined), materialized ONCE with an eager localCheckpoint
+before fan-out — the statistic's 3-5 consumers (neighbor candidates,
+join probe, global moments) prune the aggregate differently, so
+without it Catalyst re-runs the corpus aggregation per consumer (the
+cell_distinctive_terms finding; measured 5 parquet scans for Gi*).
+The neighbor structure is an 8-offset explode of the AGGREGATED cell
+table equi-joined back on the packed long key (the shared
+cells/grid.py primitives — occupied-cells-sized, not corpus-sized);
+global moments are a broadcast 1-row aggregate of integer sums (the
+PageRank dangling-mass idiom). No windows, no driver loops, no Python.
 """
 
 from __future__ import annotations
@@ -29,38 +34,80 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_KEY_SHIFT = 20  # matches cells/grid.py cell_key: (nb << 20) | eb
-
-# queen contiguity: the 8 surrounding cells (Gi* adds self separately)
-_OFFSETS = [(dn, de) for dn in (-1, 0, 1) for de in (-1, 0, 1) if (dn, de) != (0, 0)]
+from fgcspark.cells.grid import offsets_array_col, packed_from_id, packed_neighbor
 
 
 def _cell_counts(points: DataFrame, cell_col: str) -> DataFrame:
     """(cell, n_docs, _k packed key) for occupied cells only — the
     statistical population is the set of occupied cells (documented:
     empty cells are not zeros in the population, matching how the
-    tile raster itself is stored sparse)."""
-    return (
+    tile raster itself is stored sparse). Materialized eagerly: one
+    corpus pass regardless of downstream consumer count."""
+    counts = (
         points.groupBy(F.col(cell_col).alias("cell"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(
-            "cell",
-            "n_docs",
-            (
-                F.split("cell", ":")[0].cast("long") * F.lit(1 << _KEY_SHIFT)
-                + F.split("cell", ":")[1].cast("long")
-            ).alias("_k"),
-        )
+        .select("cell", "n_docs", packed_from_id(F.col("cell")).alias("_k"))
     )
+    return counts.localCheckpoint(eager=True)
 
 
-def _neighbor_offsets_col():
-    return F.array(
-        *[
-            F.struct(F.lit(dn).alias("dn"), F.lit(de).alias("de"))
-            for dn, de in _OFFSETS
-        ]
-    )
+def getis_ord_oracle_sql(table_expr: str, cell_col: str = "cell_10km") -> str:
+    """ANSI/DuckDB twin of getis_ord over a table carrying the cell-id
+    column: same integer-exact aggregates, float ops in the engine's
+    operator order verbatim. Owned here (next to the op, the
+    cells/geohash precedent) so the contract oracle and the at-scale
+    validator share one formulation."""
+    return f"""
+        WITH c AS MATERIALIZED (
+            SELECT {cell_col} AS cell, count(*) AS x,
+                   (CAST(string_split({cell_col}, ':')[1] AS BIGINT) << 20)
+                   + CAST(string_split({cell_col}, ':')[2] AS BIGINT) AS k
+            FROM {table_expr} GROUP BY 1
+        ),
+        offs(dn, de) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                                (1,-1),(1,0),(1,1)),
+        hood AS (
+            SELECT a.k AS ki, count(*) AS w,
+                   CAST(sum(b.x) AS BIGINT) AS neighbor_sum
+            FROM c a CROSS JOIN offs o
+            JOIN c b ON b.k = a.k + (o.dn * (1 << 20)) + o.de
+            GROUP BY 1
+        ),
+        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
+        SELECT a.cell, a.x AS n_docs, h.w, h.neighbor_sum,
+               round((h.neighbor_sum - (sx / n) * h.w)
+                     / (sqrt(sxx / n - (sx / n) * (sx / n))
+                        * sqrt((n * h.w - h.w * h.w) / (n - 1))), 6) AS gi_star
+        FROM c a JOIN hood h ON h.ki = a.k CROSS JOIN g
+    """
+
+
+def morans_i_oracle_sql(table_expr: str, cell_col: str = "cell_10km") -> str:
+    """ANSI/DuckDB twin of morans_i (see getis_ord_oracle_sql)."""
+    return f"""
+        WITH c AS MATERIALIZED (
+            SELECT {cell_col} AS cell, count(*) AS x,
+                   (CAST(string_split({cell_col}, ':')[1] AS BIGINT) << 20)
+                   + CAST(string_split({cell_col}, ':')[2] AS BIGINT) AS k
+            FROM {table_expr} GROUP BY 1
+        ),
+        offs(dn, de) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                (1,-1),(1,0),(1,1)),
+        pairs AS (
+            SELECT count(*) AS w, CAST(sum(a.x * b.x) AS BIGINT) AS p,
+                   CAST(sum(a.x) AS BIGINT) AS s2
+            FROM c a CROSS JOIN offs o
+            JOIN c b ON b.k = a.k + (o.dn * (1 << 20)) + o.de
+        ),
+        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
+        SELECT n AS n_cells, w AS w_pairs,
+               round((n / w) * (p - 2.0 * (sx / n) * s2
+                                + (sx / n) * (sx / n) * w)
+                     / (sxx - n * (sx / n) * (sx / n)), 6) AS morans_i
+        FROM pairs CROSS JOIN g
+    """
 
 
 def getis_ord(
@@ -87,13 +134,11 @@ def getis_ord(
     # candidate neighbor keys -> equi-join back on the occupied table;
     # union the self cell so weights are self-inclusive (Gi*, not Gi)
     cand = (
-        counts.withColumn("_o", F.explode(_neighbor_offsets_col()))
+        counts.withColumn("_o", F.explode(offsets_array_col()))
         .select(
             F.col("_k").alias("_ki"),
-            (
-                F.col("_k")
-                + F.col("_o.dn") * F.lit(1 << _KEY_SHIFT)
-                + F.col("_o.de")
+            packed_neighbor(
+                F.col("_k"), F.col("_o.dn"), F.col("_o.de")
             ).alias("_kj"),
         )
         .unionByName(
@@ -156,12 +201,10 @@ def morans_i(
     """
     cell_col = f"cell_{size_km}km"
     counts = _cell_counts(points, cell_col)
-    cand = counts.withColumn("_o", F.explode(_neighbor_offsets_col())).select(
+    cand = counts.withColumn("_o", F.explode(offsets_array_col())).select(
         F.col("_k").alias("_ki"),
         F.col("n_docs").alias("_xi"),
-        (
-            F.col("_k") + F.col("_o.dn") * F.lit(1 << _KEY_SHIFT) + F.col("_o.de")
-        ).alias("_kj"),
+        packed_neighbor(F.col("_k"), F.col("_o.dn"), F.col("_o.de")).alias("_kj"),
     )
     pairs = cand.join(
         counts.select(F.col("_k").alias("_kj"), F.col("n_docs").alias("_xj")), "_kj"

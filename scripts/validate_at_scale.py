@@ -409,31 +409,11 @@ def check_fusion(spark, d: str) -> dict:
         (r.cell, r.term, r.tf, r.score, r.rank)
         for r in cell_distinctive_terms(pages_to_points(spark, d), k=5).collect()
     }
+    from fgcspark.geotext import cell_distinctive_terms_oracle_sql
+
     want = set(
         duckdb.execute(
-            f"""
-        WITH toks AS (
-            SELECT cell_50km AS cell, unnest(string_split(text, ' ')) AS term
-            FROM read_parquet('{d}/truth.parquet')
-        ),
-        tf AS MATERIALIZED (
-            SELECT cell, term, count(*) AS tf FROM toks
-            WHERE term <> '' GROUP BY 1, 2
-        ),
-        cf AS (SELECT term, count(*) AS __cf FROM tf GROUP BY 1),
-        nc AS (SELECT count(DISTINCT cell) AS __nc FROM tf),
-        ranked AS (
-            SELECT cell, term, tf,
-                   round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) AS score,
-                   CAST(row_number() OVER (
-                       PARTITION BY cell
-                       ORDER BY round(tf * ln((__nc + 1.0) / (__cf + 1.0)), 6) DESC,
-                                term ASC
-                   ) AS INT) AS rank
-            FROM tf JOIN cf USING (term) CROSS JOIN nc
-        )
-        SELECT cell, term, tf, score, rank FROM ranked WHERE rank <= 5
-        """
+            cell_distinctive_terms_oracle_sql(f"read_parquet('{d}/truth.parquet')", k=5)
         ).fetchall()
     )
     return {"rows": len(eng | want), "mismatch": len(eng ^ want)}
@@ -452,32 +432,11 @@ def check_hotspots(spark, d: str) -> dict:
         (r.cell, r.n_docs, r.w, r.neighbor_sum, r.gi_star)
         for r in getis_ord(pages_to_points(spark, d), size_km=10).collect()
     }
+    from fgcspark.hotspots import getis_ord_oracle_sql
+
     want = set(
         duckdb.execute(
-            f"""
-        WITH c AS MATERIALIZED (
-            SELECT cell_10km AS cell, count(*) AS x,
-                   (CAST(string_split(cell_10km, ':')[1] AS BIGINT) << 20)
-                   + CAST(string_split(cell_10km, ':')[2] AS BIGINT) AS k
-            FROM read_parquet('{d}/truth.parquet') GROUP BY 1
-        ),
-        offs(dn, de) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
-                                (1,-1),(1,0),(1,1)),
-        hood AS (
-            SELECT a.k AS ki, count(*) AS w,
-                   CAST(sum(b.x) AS BIGINT) AS neighbor_sum
-            FROM c a CROSS JOIN offs o
-            JOIN c b ON b.k = a.k + (o.dn * (1 << 20)) + o.de
-            GROUP BY 1
-        ),
-        g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-                     CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
-        SELECT a.cell, a.x, h.w, h.neighbor_sum,
-               round((h.neighbor_sum - (sx / n) * h.w)
-                     / (sqrt(sxx / n - (sx / n) * (sx / n))
-                        * sqrt((n * h.w - h.w * h.w) / (n - 1))), 6)
-        FROM c a JOIN hood h ON h.ki = a.k CROSS JOIN g
-        """
+            getis_ord_oracle_sql(f"read_parquet('{d}/truth.parquet')")
         ).fetchall()
     )
     return {"rows": len(eng | want), "mismatch": len(eng ^ want)}
