@@ -1663,6 +1663,12 @@ def oracle_sql() -> dict[str, str]:
         counts AS (
             SELECT cell_50km AS cell, count(*) AS n_docs FROM {_TR} GROUP BY 1
         ),
+        -- the engine's fractional rule: max(2, round(min_frac * N)) —
+        -- computed, not hardcoded, so the oracle tracks any corpus size
+        mp AS (
+            SELECT greatest(2, CAST(round(0.003 * sum(n_docs)) AS BIGINT)) AS v
+            FROM counts
+        ),
         parts AS (
             SELECT cell, n_docs,
                    CAST(string_split(cell, ':')[1] AS BIGINT) AS nb,
@@ -1670,7 +1676,8 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
         ),
         core AS (
-            SELECT *, nb * 1048576 + eb AS k FROM parts WHERE n_docs >= 30
+            SELECT *, nb * 1048576 + eb AS k FROM parts
+            WHERE n_docs >= (SELECT v FROM mp)
         ),
         edges AS (
             SELECT a.k AS ku, b.k AS kv FROM core a JOIN core b
@@ -1687,7 +1694,7 @@ def oracle_sql() -> dict[str, str]:
             FROM parts p
             JOIN core c ON abs(p.nb - c.nb) <= 1 AND abs(p.eb - c.eb) <= 1
             JOIN fin f ON f.k = c.k
-            WHERE p.n_docs < 30
+            WHERE p.n_docs < (SELECT v FROM mp)
             GROUP BY 1, 2
         )
         SELECT c.cell, c.n_docs, 'core' AS role, CAST(f.cluster AS BIGINT) AS cluster
@@ -2133,9 +2140,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     def _h(col: str) -> str:
+        # mirrors parse_url(HOST) semantics exactly: userinfo stripped
+        # (non-capturing [^/@]*@) and no-match -> NULL (DuckDB's
+        # regexp_extract returns '' there, so nullif)
         return (
-            "regexp_replace(regexp_replace(lower("
-            f"regexp_extract({col}, '//([^/:?#]+)', 1)), '\\.$', ''), '^www\\.', '')"
+            "regexp_replace(regexp_replace(lower(nullif("
+            f"regexp_extract({col}, '//(?:[^/@]*@)?([^/:?#]+)', 1), ''))"
+            ", '\\.$', ''), '^www\\.', '')"
         )
 
     sql["outlink_edges"] = f"SELECT url, l.ol AS outlink FROM {_PG}, {_OL}"

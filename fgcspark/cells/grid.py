@@ -29,7 +29,13 @@ QUEEN_OFFSETS = [
 
 
 def packed_from_buckets(nb, eb) -> Column:
-    """The packed long key of integer bucket columns (nb, eb)."""
+    """The packed long key of integer bucket columns (nb, eb).
+
+    PRECONDITION: 0 <= eb < 2**KEY_SHIFT and nb >= 0 — true for any
+    projected-meter grid over ETRS-TM35FIN (eastings 50..760 km) and
+    every EPSG:3067 bucket size this engine emits. Callers with signed
+    or >20-bit eastings must rebucket first; `packed_neighbor` guards
+    the displaced key so a violation surfaces as NULL, not aliasing."""
     return nb * F.lit(1 << KEY_SHIFT) + eb
 
 
@@ -41,8 +47,18 @@ def packed_from_id(cell: Column) -> Column:
 
 
 def packed_neighbor(key: Column, dn, de) -> Column:
-    """The packed key displaced by (dn, de) grid steps."""
-    return key + dn * F.lit(1 << KEY_SHIFT) + de
+    """The packed key displaced by (dn, de) grid steps.
+
+    NULL when the displaced easting bucket leaves [0, 2**KEY_SHIFT):
+    raw addition would alias eb=0, de=-1 to (nb-1, 2**20 - 1) and
+    silently corrupt adjacency for grids that reach the easting edge
+    (unreachable on TM35FIN, guarded for any other CRS). NULL keys
+    never equi-join, which is exactly "no neighbor there"."""
+    eb2 = key.bitwiseAND(F.lit((1 << KEY_SHIFT) - 1)) + de
+    return F.when(
+        (eb2 >= 0) & (eb2 < F.lit(1 << KEY_SHIFT)),
+        key + dn * F.lit(1 << KEY_SHIFT) + de,
+    )
 
 
 def offsets_array_col(offsets=QUEEN_OFFSETS) -> Column:

@@ -76,9 +76,11 @@ def getis_ord_oracle_sql(table_expr: str, cell_col: str = "cell_10km") -> str:
         g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
                      CAST(sum(x * x) AS BIGINT) AS sxx FROM c)
         SELECT a.cell, a.x AS n_docs, h.w, h.neighbor_sum,
-               round((h.neighbor_sum - (sx / n) * h.w)
-                     / (sqrt(sxx / n - (sx / n) * (sx / n))
-                        * sqrt((n * h.w - h.w * h.w) / (n - 1))), 6) AS gi_star
+               CASE WHEN n >= 2 AND h.w < n AND sxx * n > sx * sx THEN
+                   round((h.neighbor_sum - (sx / n) * h.w)
+                         / (sqrt(sxx / n - (sx / n) * (sx / n))
+                            * sqrt((n * h.w - h.w * h.w) / (n - 1))), 6)
+               END AS gi_star
         FROM c a JOIN hood h ON h.ki = a.k CROSS JOIN g
     """
 
@@ -128,6 +130,12 @@ def getis_ord(
     values), negative ones cold spots. Returns
     (cell, n_docs, w, neighbor_sum, gi_star) with gi_star rounded to
     `round_to` decimals in line with the engine-wide fp contract.
+
+    Degenerate rasters have no defined z-score and yield gi_star NULL
+    explicitly (matched CASE in getis_ord_oracle_sql): n < 2 occupied
+    cells, a cell whose 3x3 window covers ALL occupied cells (w = n,
+    the sqrt term is 0), or a constant raster (every occupied cell the
+    same count, s = 0).
     """
     cell_col = f"cell_{size_km}km"
     counts = _cell_counts(points, cell_col)
@@ -164,6 +172,13 @@ def getis_ord(
         (F.col("__n") * F.col("w") - F.col("w") * F.col("w"))
         / (F.col("__n") - F.lit(1))
     )
+    # explicit NULL on degenerate rasters (denom = 0): n < 2, w = n,
+    # or constant counts (integer-exact s > 0 test: sxx * n > sx^2)
+    defined = (
+        (F.col("__n") >= 2)
+        & (F.col("w") < F.col("__n"))
+        & (F.col("__sxx") * F.col("__n") > F.col("__sx") * F.col("__sx"))
+    )
     return (
         counts.join(hood, counts["_k"] == hood["_ki"])
         .crossJoin(F.broadcast(glob))
@@ -172,8 +187,11 @@ def getis_ord(
             "n_docs",
             "w",
             "neighbor_sum",
-            F.round(
-                (F.col("neighbor_sum") - mean * F.col("w")) / denom, round_to
+            F.when(
+                defined,
+                F.round(
+                    (F.col("neighbor_sum") - mean * F.col("w")) / denom, round_to
+                ),
             ).alias("gi_star"),
         )
     )

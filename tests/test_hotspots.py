@@ -122,6 +122,43 @@ def test_uniform_map_moran_near_random(spark):
     assert r.morans_i is not None and abs(r.morans_i) < 1.0
 
 
+def test_degenerate_rasters_yield_null_gi(spark):
+    """Gi* has no defined z-score when n=1, when one window covers all
+    occupied cells (w=n), or when the raster is constant (s=0) — the
+    engine must emit explicit NULL, not NaN/Infinity."""
+    # n = 1 occupied cell
+    one = spark.createDataFrame([("u0", "5:5")], "url string, cell_10km string")
+    assert [r.gi_star for r in getis_ord(one, 10).collect()] == [None]
+    # two adjacent cells, different counts: every 3x3 window holds both
+    # occupied cells -> w = n = 2 for each
+    both = spark.createDataFrame(
+        _to_rows({(5, 5): 3, (5, 6): 1}), "url string, cell_10km string"
+    )
+    assert [r.gi_star for r in getis_ord(both, 10).collect()] == [None, None]
+    # constant raster, cells far apart so w < n: s = 0
+    const = spark.createDataFrame(
+        _to_rows({(0, 0): 2, (9, 9): 2, (0, 9): 2}), "url string, cell_10km string"
+    )
+    assert [r.gi_star for r in getis_ord(const, 10).collect()] == [None] * 3
+
+
+def test_packed_neighbor_guard(spark):
+    """Easting-bucket 0 displaced by de=-1 must be NULL (no neighbor),
+    not an aliased key in the previous northing row."""
+    from fgcspark.cells.grid import packed_from_buckets, packed_neighbor
+
+    df = spark.range(1).select(
+        packed_neighbor(packed_from_buckets(F.lit(7), F.lit(0)), -1, -1).alias("under"),
+        packed_neighbor(
+            packed_from_buckets(F.lit(7), F.lit((1 << 20) - 1)), 0, 1
+        ).alias("over"),
+        packed_neighbor(packed_from_buckets(F.lit(7), F.lit(3)), 1, -1).alias("ok"),
+    )
+    r = df.collect()[0]
+    assert r.under is None and r.over is None
+    assert r.ok == (8 << 20) + 2
+
+
 def test_plan_is_pure_jvm(df):
     for q in (getis_ord(df, 10), morans_i(df, 10)):
         plan = q._jdf.queryExecution().executedPlan().toString()
