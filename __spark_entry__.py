@@ -2571,19 +2571,22 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY canon_url ORDER BY crawl_ts DESC, url DESC) = 1
     """
+    # exact semantic (normalized-text equality, NOT the engine's
+    # fingerprint) — the r5 engine verifies fingerprint hits by text,
+    # so the oracle can state the pure set-difference definition
     sql["incremental_dedup"] = """
-        WITH fp AS (
+        WITH base AS (
             SELECT doc_id, doc_id % 5 = 0 AS in_corpus,
-                   CAST(concat('0x', substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 14)) AS BIGINT) AS fp
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
             FROM documents
         ),
         batch AS (
-            SELECT doc_id, fp FROM fp WHERE NOT in_corpus
+            SELECT doc_id, nt FROM base WHERE NOT in_corpus
             UNION ALL
-            SELECT doc_id + 100000, fp FROM fp WHERE in_corpus
+            SELECT doc_id + 100000, nt FROM base WHERE in_corpus
         )
         SELECT b.doc_id FROM batch b
-        WHERE NOT EXISTS (SELECT 1 FROM fp c WHERE c.in_corpus AND c.fp = b.fp)
+        WHERE NOT EXISTS (SELECT 1 FROM base c WHERE c.in_corpus AND c.nt = b.nt)
     """
     sql["balanced_sample_lang"] = f"""
         WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

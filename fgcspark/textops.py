@@ -319,13 +319,42 @@ def simhash_pairs(
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", key=None) -> DataFrame:
     """Exact dedup: one keeper (min id) per distinct text + copy count.
-    Hash-groupBy on the text; at scale group on md5_56(text) instead to
-    shrink shuffle payload (same result, collision odds 2^-56)."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("keep_id", "n_copies")
+
+    Scale shape (the 100 TB path): the corpus-wide exchange groups on
+    the 8-byte md5_56 hash of the text, never the text itself — the
+    big shuffle carries (fp, id) pairs, ~16 bytes/row. Exactness is
+    preserved by a second, text-equality pass over ONLY the
+    multi-member hash groups: singleton groups are provably singleton
+    texts and skip it, so the verify pass touches just the true
+    duplicates plus collision candidates. The verify is not optional
+    at corpus scale — 56 bits birthday-collide around 10^8..10^9 docs —
+    and its semi-join build side (the duplicated-hash set) is tiny
+    relative to the corpus, so AQE broadcasts it and the second scan
+    shuffles only suspect texts.
+
+    `key` injects the hash column fn (default md5_56); tests force two
+    distinct texts into one bucket with a deliberately weak key to
+    prove the verify splits them."""
+    key_fn = key if key is not None else md5_56
+    fpt = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        key_fn(F.col(text_col)).alias("_fp"),
+    )
+    groups = fpt.groupBy("_fp").agg(
+        F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    singles = groups.where(F.col("n_copies") == 1).select("keep_id", "n_copies")
+    multi_fps = groups.where(F.col("n_copies") > 1).select("_fp")
+    verified = (
+        fpt.join(multi_fps, "_fp", "left_semi")
+        .groupBy("_fp", "_t")
+        .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+    return singles.unionByName(verified)
 
 
 def langid(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -657,6 +686,7 @@ def incremental_dedup(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key=None,
 ) -> DataFrame:
     """Incremental (new-batch-vs-existing-corpus) exact dedup: the rows
     of `docs` whose normalized-content fingerprint occurs nowhere in
@@ -668,16 +698,28 @@ def incremental_dedup(
     themselves never move); the LEFT ANTI join shuffles on that key
     with a map-side-combined distinct on the build side, and AQE turns
     it into a broadcast anti join whenever the fingerprint set fits.
-    Output preserves every `docs` column. Within-batch duplicates are
-    NOT collapsed here (that is exact_dedup's job); the two compose:
+    A fingerprint hit is then VERIFIED by normalized-text equality
+    against only the corpus rows sharing a hit fingerprint (semi-join
+    pre-filter, so the 100 TB corpus never re-shuffles) — a 56-bit
+    collision between a genuinely new doc and an unrelated corpus doc
+    survives instead of being silently dropped, making the operator
+    exact, not probabilistic. Output preserves every `docs` column.
+    Within-batch duplicates are NOT collapsed here (that is
+    exact_dedup's job); the two compose:
     exact_dedup(incremental_dedup(batch, corpus))."""
+    key_fn = key if key is not None else md5_56
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
-    seen = fingerprint(corpus, id_col, text_col).select("fp").distinct()
-    return (
-        docs.withColumn("_fp", md5_56(norm))
-        .join(seen, F.col("_fp") == seen["fp"], "left_anti")
-        .drop("_fp")
+    norm_c = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
     )
+    tagged = docs.withColumn("_fp", key_fn(norm)).withColumn("_nt", norm)
+    seen = corpus.select(key_fn(norm_c).alias("fp")).distinct()
+    fresh = tagged.join(seen, F.col("_fp") == seen["fp"], "left_anti")
+    cand = tagged.join(seen, F.col("_fp") == seen["fp"], "left_semi")
+    c_norm = corpus.select(key_fn(norm_c).alias("_fp"), norm_c.alias("_nt"))
+    c_hits = c_norm.join(cand.select("_fp"), "_fp", "left_semi")
+    survivors = cand.join(c_hits, ["_fp", "_nt"], "left_anti")
+    return fresh.unionByName(survivors).drop("_fp", "_nt")
 
 
 def decontaminate(

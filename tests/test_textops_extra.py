@@ -225,6 +225,65 @@ def test_incremental_dedup_drops_only_corpus_duplicates(spark):
     assert {r.doc_id for r in kept.collect()} == {12, 13}
 
 
+def _WEAK_KEY(c):  # forces same-length collisions
+    from pyspark.sql import functions as F
+
+    return F.length(c).cast("long")
+
+
+def test_exact_dedup_hash_group_with_collision_verify(spark):
+    """Two DISTINCT texts forced into one hash bucket (weak injected
+    key) must still come out as two keeper rows — the equality-verify
+    pass over multi-member groups keeps the op exact, not
+    probabilistic; true duplicate groups still collapse."""
+    from fgcspark.textops import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),  # collides with 'bbbb' on length
+            (2, "bbbb"),
+            (3, "aaaa"),  # true dup of 1
+            (4, "unique longer text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.keep_id, r.n_copies)
+        for r in exact_dedup(df, key=_WEAK_KEY).collect()
+    }
+    assert got == {(1, 2), (2, 1), (4, 1)}
+    # default key: same answer, and the corpus-wide exchange must
+    # partition on the 8-byte fingerprint, never the text column
+    plan = (
+        exact_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(_fp" in plan
+    assert "hashpartitioning(text" not in plan
+    got_md5 = {(r.keep_id, r.n_copies) for r in exact_dedup(df).collect()}
+    assert got_md5 == {(1, 2), (2, 1), (4, 1)}
+
+
+def test_incremental_dedup_collision_survives(spark):
+    """A new doc whose fingerprint collides with an UNRELATED corpus
+    doc (weak injected key) must survive: fingerprint hits are verified
+    by normalized-text equality before dropping."""
+    from fgcspark.textops import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "aaaa bbbb")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "cccc dddd"),   # same length as corpus text: fp collides
+            (11, "AAAA  bbbb"),  # true dup after normalization: dropped
+            (12, "xyz"),         # no fp hit at all
+        ],
+        "doc_id long, text string",
+    )
+    kept = incremental_dedup(batch, corpus, key=_WEAK_KEY)
+    assert {r.doc_id for r in kept.collect()} == {10, 12}
+
+
 def test_line_dedup_threshold_and_order(spark):
     from fgcspark.textops import line_dedup
 
