@@ -168,9 +168,10 @@ def _q_cell_ring_counts(spark, sf_dir):
     from fgcspark.cells.grid import ring_counts
     from fgcspark.pipeline import tile_counts
 
-    # persist the base aggregate: `hot` and the join side both read it,
-    # and without the cache the whole extract pipeline scans twice
-    counts = tile_counts(spark, _geo_dir(sf_dir), size_km=10).persist()
+    # eager localCheckpoint on the base aggregate: `hot` and the join
+    # side both read it — one extract scan, no cache-write overhead
+    # (see _q_hex_ring_counts for the measured comparison vs persist)
+    counts = tile_counts(spark, _geo_dir(sf_dir), size_km=10).localCheckpoint()
     hot = counts.orderBy(F.desc("n_docs"), F.asc("cell")).limit(20)
     return ring_counts(hot, counts, k=2)
 
@@ -554,9 +555,12 @@ def _q_hex_ring_counts(spark, sf_dir):
     join (the base aggregate is computed once, never rescanned)."""
     from fgcspark.cells.hexgrid import hex_ring_counts
 
-    # persist: `hot` and the join side share this aggregate (one
-    # extract-pipeline scan instead of two)
-    counts = _q_hex_cell_counts(spark, sf_dir).persist()
+    # eager localCheckpoint: `hot` and the join side share this
+    # aggregate — ONE extract-pipeline scan, and unlike persist() the
+    # downstream jobs read materialized partitions with no cache-write
+    # overhead (the cell_distinctive_terms/hotspots shape; measured
+    # 1.4-1.6 s vs 2.1-2.4 s persist, 1.9-6.5 s uncached at sf0.1)
+    counts = _q_hex_cell_counts(spark, sf_dir).localCheckpoint()
     hot = counts.orderBy(F.desc("n_docs"), F.asc("hex_id")).limit(20)
     return hex_ring_counts(hot, counts, k=2)
 

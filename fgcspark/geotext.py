@@ -176,6 +176,7 @@ def entity_cooccurrence(
     pattern: str = r"species_\d+",
     text_col: str = "text",
     cell_col: str = "cell_50km",
+    fanout_cap: int = 256,
 ) -> DataFrame:
     """Spatial co-occurrence matrix: for each unordered entity pair,
     the number of 50 km cells where BOTH are mentioned (range-overlap
@@ -184,19 +185,55 @@ def entity_cooccurrence(
 
     Scale shape: reduce to the distinct (entity, cell) presence table
     FIRST (vocabulary x cells, not corpus), then self-join on cell —
-    the fan-out per cell is (entities-in-cell choose 2), bounded by
-    local biodiversity, not page volume; the final pair agg is
-    map-side combined. This is the standard post-aggregation self-join
-    shape for co-occurrence at 100 TB."""
+    the fan-out per cell is (entities-in-cell choose 2), and the final
+    pair agg is map-side combined.
+
+    One hot cell with 10^4 distinct entities would put 10^8 pairs in a
+    single task of the plain self-join, so the pair generation is
+    SALTED above `fanout_cap` entities per cell: each hot cell's
+    entities are hashed into S = ceil(k / fanout_cap) buckets, the two
+    join sides replicate S ways on complementary key components
+    ((cell, bucket_a, j) vs (cell, i, bucket_b)), and every unordered
+    pair meets in exactly one of the S^2 key groups — ~fanout_cap^2
+    pairs per task, never k^2. Cells at or under the cap skip the
+    replication entirely, so the common case pays nothing. Result is
+    identical either way (same pairs, met once)."""
     m = entity_mentions(df, pattern, text_col, (cell_col,))
     pres = m.select("entity", F.col(cell_col).alias("cell")).distinct()
-    a = pres.alias("a")
-    b = pres.alias("b")
+    cnt = pres.groupBy("cell").agg(F.count(F.lit(1)).alias("_k"))
+    pres = pres.join(cnt, "cell")
+    cold = pres.where(F.col("_k") <= fanout_cap).drop("_k")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.entity") < F.col("b.entity")),
+    ).select(
+        F.col("a.entity").alias("entity_a"), F.col("b.entity").alias("entity_b")
+    )
+    hot = (
+        pres.where(F.col("_k") > fanout_cap)
+        .withColumn("_s", F.ceil(F.col("_k") / F.lit(fanout_cap)).cast("int"))
+        .withColumn("_b", F.pmod(F.xxhash64("entity"), F.col("_s")).cast("int"))
+    )
+    ha = hot.withColumn(
+        "_j", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+    ).alias("ha")
+    hb = hot.withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+    ).alias("hb")
+    hot_pairs = ha.join(
+        hb,
+        (F.col("ha.cell") == F.col("hb.cell"))
+        & (F.col("ha._b") == F.col("hb._i"))
+        & (F.col("ha._j") == F.col("hb._b"))
+        & (F.col("ha.entity") < F.col("hb.entity")),
+    ).select(
+        F.col("ha.entity").alias("entity_a"), F.col("hb.entity").alias("entity_b")
+    )
     return (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.entity") < F.col("b.entity")))
-        .groupBy(
-            F.col("a.entity").alias("entity_a"), F.col("b.entity").alias("entity_b")
-        )
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("entity_a", "entity_b")
         .agg(F.count(F.lit(1)).alias("n_shared_cells"))
     )
 

@@ -112,6 +112,86 @@ def test_entity_cooccurrence(edf):
     )
 
 
+def test_entity_cooccurrence_salted_equals_plain(spark):
+    """Property: the salted hot-cell path returns exactly the plain
+    self-join's pairs. Random presence map with cells far above the
+    cap, brute-forced in Python."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    presence = {}
+    for cell in ("H1", "H2", "S1", "S2", "S3"):
+        k = rng.randint(12, 30) if cell.startswith("H") else rng.randint(1, 4)
+        ents = rng.sample(range(100), k)
+        presence[cell] = {f"species_{e:02d}" for e in ents}
+        for i, e in enumerate(ents):
+            rows.append(
+                (f"{cell}u{i}", 0.0, 0.0, cell, f"text species_{e:02d} end")
+            )
+    edf = spark.createDataFrame(
+        rows, "url string, e double, n double, cell_50km string, text string"
+    )
+    want = {}
+    for ents in presence.values():
+        for a, b in itertools.combinations(sorted(ents), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r.entity_a, r.entity_b): r.n_shared_cells
+        for r in entity_cooccurrence(edf, fanout_cap=4).collect()
+    }
+    assert got == want
+    # cap >= every cell's k: pure cold path, same answer
+    got_cold = {
+        (r.entity_a, r.entity_b): r.n_shared_cells
+        for r in entity_cooccurrence(edf, fanout_cap=1000).collect()
+    }
+    assert got_cold == want
+
+
+def test_entity_cooccurrence_bounded_task_input(spark):
+    """A 2000-entity hot cell must reach the pair join in key groups of
+    ~fanout_cap rows per side, never k: no single join-key group may
+    see a quadratic blow-up."""
+    from pyspark.sql import functions as F
+
+    cap = 100
+    rows = [
+        (f"u{i}", 0.0, 0.0, "HOT", f"x species_{i:04d} y") for i in range(2000)
+    ]
+    edf = spark.createDataFrame(
+        rows, "url string, e double, n double, cell_50km string, text string"
+    )
+    # replicate the op's salted a-side keying and measure group sizes
+    from fgcspark.geotext import entity_mentions
+
+    pres = (
+        entity_mentions(edf, r"species_\d+", "text", ("cell_50km",))
+        .select("entity", F.col("cell_50km").alias("cell"))
+        .distinct()
+    )
+    cnt = pres.groupBy("cell").agg(F.count(F.lit(1)).alias("_k"))
+    hot = (
+        pres.join(cnt, "cell")
+        .where(F.col("_k") > cap)
+        .withColumn("_s", F.ceil(F.col("_k") / F.lit(cap)).cast("int"))
+        .withColumn("_b", F.pmod(F.xxhash64("entity"), F.col("_s")).cast("int"))
+        .withColumn("_j", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+    )
+    sizes = [
+        r.n
+        for r in hot.groupBy("cell", "_b", "_j")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(sizes) <= 3 * cap  # ~cap expected; 3x slack for hash skew
+    # and the full operator still answers: every pair shares the 1 cell
+    out = entity_cooccurrence(edf, fanout_cap=cap)
+    assert out.where(F.col("n_shared_cells") != 1).count() == 0
+    assert out.count() == 2000 * 1999 // 2
+
+
 def test_plan_shape(df):
     plan = (
         cell_distinctive_terms(df, k=5)

@@ -159,3 +159,27 @@ def test_fp_partitioned_is_cogroup_no_broadcast_layer(spark, pages_dir):
     df = footprint_join_partitioned(spark, pages, polys, materialize=False)
     plan = plan_of(df)
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_ring_counts_single_source_scan(spark, pages_dir):
+    """The k-ring disk queries must scan the extract pipeline ONCE: the
+    per-cell aggregate is eagerly localCheckpoint-ed, so both the hot
+    probe selection and the neighbor join read the materialized RDD —
+    the downstream plan contains no parquet scan at all."""
+    from fgcspark.cells.hexgrid import hex_id, hex_ring_counts
+
+    counts = (
+        spark.read.parquet(f"{pages_dir}/pages.parquet")
+        .select(F.length("html").alias("_l"))
+        .select((F.col("_l") % 50).cast("long").alias("e"), F.lit(0.0).alias("n"))
+        .select(hex_id(F.col("e") * 10000.0, F.col("n"), 5000.0).alias("hex_id"))
+        .groupBy("hex_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()
+    )
+    hot = counts.orderBy(F.desc("n_docs"), F.asc("hex_id")).limit(5)
+    out = hex_ring_counts(hot, counts, k=2)
+    plan = plan_of(out)
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert out.count() > 0
