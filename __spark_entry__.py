@@ -1263,19 +1263,34 @@ def _q_iceberg_pruned(spark, sf_dir):
     )
 
 
+_MEDIA_SENTINELS = {"fmt": "", "width": -1, "height": -1, "channels": -1}
+
+
+def _desentinel(df):
+    """NULL header fields -> sentinels ('' / -1): the driver's compare
+    sorts raw value tuples, and Python cannot order None against int —
+    mirrored with identical coalesces in the oracles."""
+    for c, v in _MEDIA_SENTINELS.items():
+        if c in df.columns:
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return df
+
+
 def _q_media_meta(spark, sf_dir):
     from fgcspark.multimodal import media_metadata
     from fgcspark.pipeline import load_pages
 
-    return media_metadata(load_pages(spark, _geo_dir(sf_dir)))
+    return _desentinel(media_metadata(load_pages(spark, _geo_dir(sf_dir))))
 
 
 def _q_media_decode(spark, sf_dir):
     from fgcspark.multimodal import decode_image_stub
     from fgcspark.pipeline import load_pages
 
-    return decode_image_stub(load_pages(spark, _geo_dir(sf_dir))).select(
-        "url", "width", "height", "channels"
+    return _desentinel(
+        decode_image_stub(load_pages(spark, _geo_dir(sf_dir))).select(
+            "url", "fmt", "width", "height", "channels"
+        )
     )
 
 
@@ -1283,9 +1298,14 @@ def _q_media_resize(spark, sf_dir):
     from fgcspark.multimodal import decode_image_stub, resize_stub
     from fgcspark.pipeline import load_pages
 
-    return resize_stub(
+    out = resize_stub(
         decode_image_stub(load_pages(spark, _geo_dir(sf_dir))), max_side=256
     ).select("url", "out_width", "out_height")
+    return out.select(
+        "url",
+        F.coalesce("out_width", F.lit(-1)).alias("out_width"),
+        F.coalesce("out_height", F.lit(-1)).alias("out_height"),
+    )
 
 
 def _q_media_frames(spark, sf_dir):
@@ -2101,41 +2121,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE url BETWEEN 'https://site2' AND 'https://site5'
         GROUP BY 1
     """
-    _MD5 = "md5(decode(html))"  # html is ASCII, so char ops == byte ops
-    sql["media_metadata"] = f"""
-        SELECT url, octet_length(html) AS n_bytes,
-               CAST(1 + octet_length(html) % 640 AS INT) AS width,
-               CAST(1 + CAST(concat('0x', substring({_MD5}, 1, 2)) AS BIGINT) % 480 AS INT) AS height,
-               CAST(3 AS INT) AS channels,
-               CAST(concat('0x', substring({_MD5}, 1, 14)) AS BIGINT) AS fp
-        FROM {_PG}
-    """
-    sql["media_decode_stub"] = f"""
+    # real header parse: the SQL twin is generated by the op's module
+    # (three independent parsers — Catalyst / Python / DuckDB)
+    from fgcspark.multimodal import HEX_WINDOW as _HW
+    from fgcspark.multimodal import media_header_sql as _hdr_sql
+
+    _HSRC = (
+        f"hsrc AS (SELECT url, CAST(octet_length(media) AS BIGINT) AS n_bytes, "
+        f"substring(upper(hex(media)), 1, {2 * _HW}) AS hx, "
+        "try_cast(concat('0x', substring(md5(upper(hex(media))), 1, 14)) AS BIGINT) AS fp "
+        f"FROM {_PG})"
+    )
+    # sentinels mirror _desentinel: NULL -> '' / -1 so the driver's
+    # value sort never compares None against int
+    _SENT = (
+        "coalesce(fmt, '') AS fmt, coalesce(width, -1) AS width, "
+        "coalesce(height, -1) AS height, coalesce(channels, -1) AS channels"
+    )
+    sql["media_metadata"] = (
+        f"WITH {_HSRC},\n{_hdr_sql()}\n"
+        f"SELECT url, n_bytes, {_SENT}, fp FROM hdr"
+    )
+    sql["media_decode_stub"] = (
+        f"WITH {_HSRC},\n{_hdr_sql()}\nSELECT url, {_SENT} FROM hdr"
+    )
+    sql["media_resize"] = (
+        f"WITH {_HSRC},\n{_hdr_sql()}\n"
+        + """
         SELECT url,
-               CAST(1 + octet_length(html) % 640 AS INT) AS width,
-               CAST(1 + CAST(concat('0x', substring({_MD5}, 1, 2)) AS BIGINT) % 480 AS INT) AS height,
-               CAST(3 AS INT) AS channels
-        FROM {_PG}
+               CAST(CASE WHEN width IS NULL OR height IS NULL THEN -1
+                    WHEN greatest(width, height) <= 256 THEN width
+                    ELSE greatest(CAST(floor(width * (256.0 / greatest(width, height))) AS BIGINT), 1) END AS INT) AS out_width,
+               CAST(CASE WHEN width IS NULL OR height IS NULL THEN -1
+                    WHEN greatest(width, height) <= 256 THEN height
+                    ELSE greatest(CAST(floor(height * (256.0 / greatest(width, height))) AS BIGINT), 1) END AS INT) AS out_height
+        FROM hdr
     """
-    sql["media_resize"] = f"""
-        WITH d AS (
-            SELECT url,
-                   1 + octet_length(html) % 640 AS w,
-                   1 + CAST(concat('0x', substring({_MD5}, 1, 2)) AS BIGINT) % 480 AS h
-            FROM {_PG}
-        )
-        SELECT url,
-               CAST(CASE WHEN greatest(w, h) <= 256 THEN w
-                    ELSE greatest(CAST(floor(w * (256.0 / greatest(w, h))) AS BIGINT), 1) END AS INT) AS out_width,
-               CAST(CASE WHEN greatest(w, h) <= 256 THEN h
-                    ELSE greatest(CAST(floor(h * (256.0 / greatest(w, h))) AS BIGINT), 1) END AS INT) AS out_height
-        FROM d
-    """
+    )
+    # frame hash = md5 over the window's uppercase hex (DuckDB 1.0 has
+    # no md5(BLOB); hex is injective so this is still a content hash)
     sql["media_frames"] = f"""
         SELECT url, CAST(k AS INT) AS frame_idx,
-               md5(substring(decode(html), CAST(k * 64 + 1 AS BIGINT), 64)) AS frame_md5
+               md5(substring(upper(hex(media)), CAST(k * 128 + 1 AS BIGINT), 128)) AS frame_md5
         FROM {_PG}, range(0, 8) r(k)
-        WHERE k < least(8, CAST(floor(octet_length(html) / 64) AS BIGINT))
+        WHERE k < least(8, CAST(floor(octet_length(media) / 64) AS BIGINT))
     """
     # --- web link graph -----------------------------------------------------
     _OL = (

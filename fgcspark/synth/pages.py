@@ -361,6 +361,71 @@ def _footprint_gc(rng, ce, cn, variant: int):
     return wkt, coords, "GEOMETRYCOLLECTION", [("poly", coords)]
 
 
+def _media_blob(url: str) -> bytes:
+    """Deterministic media blob for a page: a VALID PNG / GIF89a / JPEG
+    header — true width/height/channels baked into the real byte
+    layout (PNG IHDR with CRC, GIF logical-screen descriptor, JPEG
+    JFIF APP0 + COM + SOF0 segment chain) — followed by md5-chained
+    opaque payload bytes; every 4th page gets a malformed blob with no
+    magic. media_metadata's header parse is therefore true by
+    construction, and the malformed branch exercises its NULL path.
+    Headers only + payload (no pixel data): the decode stub stays a
+    stub, but the metadata is real."""
+    import hashlib
+    import zlib
+
+    d = hashlib.md5(url.encode()).digest()
+    fmt = d[0] % 4
+    w = 1 + int.from_bytes(d[1:3], "big") % 640
+    h = 1 + int.from_bytes(d[3:5], "big") % 480
+    chain, payload = d, b""
+    plen = 64 + d[6] % 193
+    while len(payload) < plen:
+        chain = hashlib.md5(chain).digest()
+        payload += chain
+    payload = payload[:plen]
+    if fmt == 0:  # PNG: 8-byte magic + IHDR chunk (13-byte data + CRC)
+        colortype = 2 if d[5] % 2 else 6  # RGB / RGBA
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, colortype, 0, 0, 0])
+        )
+        crc = zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + crc
+            + payload
+        )
+    if fmt == 1:  # GIF89a: little-endian logical screen descriptor
+        lsd = w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0xF7, 0, 0])
+        return b"GIF89a" + lsd + payload
+    if fmt == 2:  # JPEG: SOI + APP0(JFIF) + variable-length COM + SOF0
+        ncomp = 3 if d[5] % 4 else 1  # color / grayscale
+        app0 = (
+            b"\xff\xe0"
+            + (16).to_bytes(2, "big")
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
+        # COM payload may contain FF bytes — a naive FFC0 scan would
+        # misparse; only a real segment walk reads these correctly
+        com_data = payload[: 8 + d[7] % 33]
+        com = b"\xff\xfe" + (len(com_data) + 2).to_bytes(2, "big") + com_data
+        sof_data = (
+            bytes([8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes([ncomp])
+            + bytes([1, 0x11, 0]) * ncomp
+        )
+        sof = b"\xff\xc0" + (len(sof_data) + 2).to_bytes(2, "big") + sof_data
+        return b"\xff\xd8" + app0 + com + sof + payload
+    return b"\x00\x00" + payload  # malformed: matches no magic
+
+
 def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Path:
     """Generate (idempotently) the dataset for one scale; returns its dir."""
     n = SCALE_ROWS[scale]
@@ -538,6 +603,7 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
                 "url": urls,
                 "warc_ts": pa.array(warc_ts, pa.timestamp("us", tz="UTC")),
                 "html": pa.array(htmls, pa.binary()),
+                "media": pa.array([_media_blob(u) for u in urls], pa.binary()),
                 "text": texts,
                 "lang": langs.tolist(),
             }
@@ -806,5 +872,6 @@ def ensure(scale: str, out_dir: Path | None = None) -> Path:
 if __name__ == "__main__":
     import sys
 
-    for sc in sys.argv[1:] or ["sf0.001", "sf0.01"]:
+    scales = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for sc in scales or ["sf0.001", "sf0.01"]:
         print(generate(sc, force="--force" in sys.argv))

@@ -1,10 +1,12 @@
-"""Multimodal binary-column operators: metadata, stub decode,
-resize, frame sampling (fgcspark/multimodal.py).
+"""Multimodal binary-column operators: real header metadata, stub
+decode, resize, frame sampling (fgcspark/multimodal.py).
 
-The codec is a deterministic stub (no image libs in this container);
-these tests pin the Spark-side plumbing — schemas, Arrow batch
-handling, per-row fan-out, JVM/Python cross-checks — plus the stub's
-exact byte-determinism so oracled queries stay stable."""
+Header parsing (PNG IHDR / GIF LSD / JPEG SOF segment walk) is REAL —
+these tests verify it against a third derivation (the generator's
+construction parameters, recomputed here from the url hash alone) and
+pin the JVM-vs-Python parser agreement. The pixel codec is still a
+deterministic stub (no image libs in this container); its
+byte-determinism keeps the oracled queries stable."""
 
 from __future__ import annotations
 
@@ -20,28 +22,96 @@ def pages(spark, pages_dir):
     return spark.read.parquet(f"{pages_dir}/pages.parquet")
 
 
-def test_metadata_matches_python(spark, pages):
-    rows = pages.select("url", "html").orderBy("url").limit(50).collect()
-    got = {
-        r["url"]: r
-        for r in mm.media_metadata(pages).collect()
+def _expected_from_url(url: str):
+    """What synth.pages._media_blob encodes, recomputed independently
+    of BOTH the blob bytes and every parser: (fmt, w, h, channels)."""
+    d = hashlib.md5(url.encode()).digest()
+    fmt = d[0] % 4
+    w = 1 + int.from_bytes(d[1:3], "big") % 640
+    h = 1 + int.from_bytes(d[3:5], "big") % 480
+    if fmt == 0:
+        return "png", w, h, (3 if d[5] % 2 else 4)
+    if fmt == 1:
+        return "gif", w, h, 3
+    if fmt == 2:
+        return "jpeg", w, h, (3 if d[5] % 4 else 1)
+    return None, None, None, None
+
+
+def test_metadata_parses_real_headers(spark, pages):
+    got = {r["url"]: r for r in mm.media_metadata(pages).collect()}
+    blobs = {
+        r["url"]: bytes(r["media"])
+        for r in pages.select("url", "media").collect()
     }
-    for r in rows:
-        b = bytes(r["html"])
-        d = hashlib.md5(b).digest()
-        m = got[r["url"]]
+    fmts_seen = set()
+    for url, m in got.items():
+        fmt, w, h, c = _expected_from_url(url)
+        assert (m["fmt"], m["width"], m["height"], m["channels"]) == (fmt, w, h, c), url
+        b = blobs[url]
         assert m["n_bytes"] == len(b)
-        assert m["width"] == 1 + len(b) % 640
-        assert m["height"] == 1 + d[0] % 480
-        assert m["channels"] == 3
-        assert m["fp"] == int(hashlib.md5(b).hexdigest()[:14], 16)
+        assert m["fp"] == int(
+            hashlib.md5(b.hex().upper().encode()).hexdigest()[:14], 16
+        )
+        fmts_seen.add(fmt)
+    # the corpus must exercise all four branches
+    assert fmts_seen == {"png", "gif", "jpeg", None}
 
 
-def test_decode_stub_matches_metadata(spark, pages):
-    """The JVM metadata path and the mapInPandas decode path must agree
-    exactly — they are independent implementations of the same stub."""
-    meta = mm.media_metadata(pages).select("url", "width", "height", "channels")
-    dec = mm.decode_image_stub(pages).select("url", "width", "height", "channels")
+def test_jpeg_segment_walk_not_a_naive_scan(spark):
+    """A JPEG whose COM payload embeds the bytes FF C0 <fake SOF> must
+    still parse the REAL SOF0 after it — only a length-aware segment
+    walk gets this right."""
+    fake = b"\xff\xc0\x00\x11\x08\x00\x63\x00\x63\x03"  # 99x99 decoy
+    com = b"\xff\xfe" + (len(fake) + 2).to_bytes(2, "big") + fake
+    sof = (
+        b"\xff\xc0\x00\x11\x08"
+        + (222).to_bytes(2, "big")
+        + (333).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x11\x00" * 3
+    )
+    blob = b"\xff\xd8" + com + sof + b"\x00" * 32
+    df = spark.createDataFrame([("u", blob)], "url string, media binary")
+    m = mm.media_metadata(df).collect()[0]
+    assert (m["fmt"], m["width"], m["height"], m["channels"]) == ("jpeg", 333, 222, 3)
+    # Python twin agrees
+    assert mm._parse_header(blob) == ("jpeg", 333, 222, 3)
+
+
+def test_truncated_and_malformed_blobs_yield_null(spark):
+    rows = [
+        ("png_trunc", b"\x89PNG\r\n\x1a\n\x00\x00"),  # cut before IHDR
+        ("gif_magic_only", b"GIF89a"),
+        ("jpeg_soi_only", b"\xff\xd8"),
+        ("garbage", b"\x00\x01\x02\x03" * 8),
+        ("empty", b""),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    got = {r["url"]: r for r in mm.media_metadata(df).collect()}
+    for r in got.values():
+        assert r["width"] is None and r["height"] is None, r["url"]
+    # channels: NULL unless format-implied (GIF is always palette RGB)
+    assert got["gif_magic_only"]["channels"] == 3
+    for u in ("png_trunc", "jpeg_soi_only", "garbage", "empty"):
+        assert got[u]["channels"] is None, u
+    # fmt is NULL unless the magic is complete
+    assert got["garbage"]["fmt"] is None and got["empty"]["fmt"] is None
+    assert got["png_trunc"]["fmt"] is None  # IHDR check fails
+    assert got["gif_magic_only"]["fmt"] == "gif"
+    assert got["jpeg_soi_only"]["fmt"] == "jpeg"
+    # the Python twin agrees on every edge case
+    for u, b in rows:
+        g = got[u]
+        assert mm._parse_header(b) == (
+            g["fmt"], g["width"], g["height"], g["channels"]
+        ), u
+
+
+def test_decode_matches_metadata(spark, pages):
+    """The JVM Catalyst parser and the Python byte-walk parser are
+    independent implementations and must agree exactly."""
+    meta = mm.media_metadata(pages).select("url", "fmt", "width", "height", "channels")
+    dec = mm.decode_image_stub(pages).select("url", "fmt", "width", "height", "channels")
     assert meta.exceptAll(dec).count() == 0
     assert dec.exceptAll(meta).count() == 0
 
@@ -62,8 +132,13 @@ def test_decode_features_shape_and_determinism(spark, pages):
 
 
 def test_resize_stub(spark, pages):
-    out = mm.resize_stub(mm.decode_image_stub(pages.limit(200)), max_side=256)
+    out = mm.resize_stub(mm.decode_image_stub(pages.limit(400)), max_side=256)
+    n_null = 0
     for r in out.collect():
+        if r["width"] is None:
+            assert r["out_width"] is None and r["out_height"] is None
+            n_null += 1
+            continue
         long_side = max(r["out_width"], r["out_height"])
         assert 1 <= long_side <= 256
         if max(r["width"], r["height"]) <= 256:
@@ -72,18 +147,20 @@ def test_resize_stub(spark, pages):
             assert long_side == 256 or long_side == 255  # floor of scaled short side
             # aspect ratio preserved within integer floor
             assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+    assert n_null > 0  # malformed blobs exercised
 
 
 def test_frame_sampling(spark, pages):
-    rows = pages.select("url", "html").orderBy("url").limit(30).collect()
+    rows = pages.select("url", "media").orderBy("url").limit(30).collect()
     got: dict[tuple, str] = {}
     for r in mm.sample_frames_stub(pages).collect():
         got[(r["url"], r["frame_idx"])] = r["frame_md5"]
     for r in rows:
-        b = bytes(r["html"])
+        b = bytes(r["media"])
         n = min(mm.MAX_FRAMES, len(b) // mm.FRAME_BYTES)
-        assert n >= 1  # every synthetic page is >= 64 bytes
+        assert n >= 1  # every synthetic blob is >= 64 bytes
         for k in range(n):
-            expect = hashlib.md5(b[k * 64 : (k + 1) * 64]).hexdigest()
+            win = b[k * 64 : (k + 1) * 64]
+            expect = hashlib.md5(win.hex().upper().encode()).hexdigest()
             assert got[(r["url"], k)] == expect
         assert (r["url"], n) not in got  # no frames past the stream end
