@@ -1324,19 +1324,23 @@ def _desentinel(df):
     return df
 
 
+def _load_media(spark, sf_dir):
+    """The blob table (url, media) — separate from pages so relational
+    scans never pay blob split overhead (see synth.pages)."""
+    return spark.read.parquet(f"{_geo_dir(sf_dir)}/media.parquet")
+
+
 def _q_media_meta(spark, sf_dir):
     from fgcspark.multimodal import media_metadata
-    from fgcspark.pipeline import load_pages
 
-    return _desentinel(media_metadata(load_pages(spark, _geo_dir(sf_dir))))
+    return _desentinel(media_metadata(_load_media(spark, sf_dir)))
 
 
 def _q_media_decode(spark, sf_dir):
     from fgcspark.multimodal import decode_image_stub
-    from fgcspark.pipeline import load_pages
 
     return _desentinel(
-        decode_image_stub(load_pages(spark, _geo_dir(sf_dir))).select(
+        decode_image_stub(_load_media(spark, sf_dir)).select(
             "url", "fmt", "width", "height", "channels"
         )
     )
@@ -1344,10 +1348,9 @@ def _q_media_decode(spark, sf_dir):
 
 def _q_media_resize(spark, sf_dir):
     from fgcspark.multimodal import decode_image_stub, resize_stub
-    from fgcspark.pipeline import load_pages
 
     out = resize_stub(
-        decode_image_stub(load_pages(spark, _geo_dir(sf_dir))), max_side=256
+        decode_image_stub(_load_media(spark, sf_dir)), max_side=256
     ).select("url", "out_width", "out_height")
     return out.select(
         "url",
@@ -1358,9 +1361,8 @@ def _q_media_resize(spark, sf_dir):
 
 def _q_media_frames(spark, sf_dir):
     from fgcspark.multimodal import sample_frames_stub
-    from fgcspark.pipeline import load_pages
 
-    return sample_frames_stub(load_pages(spark, _geo_dir(sf_dir)))
+    return sample_frames_stub(_load_media(spark, sf_dir))
 
 
 def _q_lineitem_agg(spark, sf_dir):
@@ -2186,11 +2188,12 @@ def oracle_sql() -> dict[str, str]:
     from fgcspark.multimodal import HEX_WINDOW as _HW
     from fgcspark.multimodal import media_header_sql as _hdr_sql
 
+    _PGM = f"read_parquet('{GEO_DATA}/{ORACLE_SCALE}/media.parquet')"
     _HSRC = (
         f"hsrc AS (SELECT url, CAST(octet_length(media) AS BIGINT) AS n_bytes, "
         f"substring(upper(hex(media)), 1, {2 * _HW}) AS hx, "
         "try_cast(concat('0x', substring(md5(upper(hex(media))), 1, 14)) AS BIGINT) AS fp "
-        f"FROM {_PG})"
+        f"FROM {_PGM})"
     )
     # sentinels mirror _desentinel: NULL -> '' / -1 so the driver's
     # value sort never compares None against int
@@ -2223,7 +2226,7 @@ def oracle_sql() -> dict[str, str]:
     sql["media_frames"] = f"""
         SELECT url, CAST(k AS INT) AS frame_idx,
                md5(substring(upper(hex(media)), CAST(k * 128 + 1 AS BIGINT), 128)) AS frame_md5
-        FROM {_PG}, range(0, 8) r(k)
+        FROM {_PGM}, range(0, 8) r(k)
         WHERE k < least(8, CAST(floor(octet_length(media) / 64) AS BIGINT))
     """
     # --- web link graph -----------------------------------------------------

@@ -20,6 +20,7 @@ Independence notes:
 
 Outputs under /root/repo/data/{scale}/:
   pages.parquet      url, warc_ts, html(binary), text, lang
+  media.parquet      url, media(binary) — real PNG/GIF/JPEG headers
   truth.parquet      per-url expected extraction/point/tile values
   pip.parquet        (url, poly_id) golden join rows
   knn.parquet        (probe_id, url) golden k=5 neighbor rows
@@ -603,12 +604,27 @@ def generate(scale: str, out_dir: Path | None = None, force: bool = False) -> Pa
                 "url": urls,
                 "warc_ts": pa.array(warc_ts, pa.timestamp("us", tz="UTC")),
                 "html": pa.array(htmls, pa.binary()),
-                "media": pa.array([_media_blob(u) for u in urls], pa.binary()),
                 "text": texts,
                 "lang": langs.tolist(),
             }
         ),
         out / "pages.parquet",
+        row_group_size=max(2000, n // 64),
+    )
+
+    # media blobs live in their OWN table (url, media): blobs dominate
+    # bytes (~2x the html), and Spark splits scan tasks by total file
+    # bytes regardless of column projection — co-locating blobs with
+    # the relational columns made every pages scan pay blob-split
+    # overhead. Separate blob tables are also the 100 TB layout.
+    pq.write_table(
+        pa.table(
+            {
+                "url": urls,
+                "media": pa.array([_media_blob(u) for u in urls], pa.binary()),
+            }
+        ),
+        out / "media.parquet",
         row_group_size=max(2000, n // 64),
     )
 

@@ -84,15 +84,18 @@ B.spatial_core(spark, sf_dir)  # warm-up, untimed
 best = None
 for _ in range({trials}):
     t0 = time.time()
-    B.spatial_core(spark, sf_dir)
+    for _r in range({repeat}):
+        B.spatial_core(spark, sf_dir)
     dt = time.time() - t0
     best = dt if best is None else min(best, dt)
-print(json.dumps({{"cores": {cores}, "sec": round(best, 3), "n_pages": n}}))
+print(json.dumps({{"cores": {cores}, "sec": round(best, 3), "n_pages": n * {repeat}}}))
 """
 
 
-def run_level(cores: int, sf_dir: str, trials: int) -> dict:
-    code = _CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, trials=trials)
+def run_level(cores: int, sf_dir: str, trials: int, repeat: int = 1) -> dict:
+    code = _CHILD.format(
+        repo=REPO, cores=cores, sf_dir=sf_dir, trials=trials, repeat=repeat
+    )
     env = dict(os.environ, FGC_MAX_PARTITION_BYTES="4m")
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env,
@@ -102,7 +105,9 @@ def run_level(cores: int, sf_dir: str, trials: int) -> dict:
     return json.loads(line)
 
 
-def run_rung(lo: int, hi: int, scale: str, trials: int, rounds: int) -> dict:
+def run_rung(
+    lo: int, hi: int, scale: str, trials: int, rounds: int, repeat: int = 1
+) -> dict:
     sf_dir = f"/root/repo/data/{scale}"
     load0 = os.getloadavg()[0]
     ceiling = cpu_ceiling(lo, hi)
@@ -110,7 +115,7 @@ def run_rung(lo: int, hi: int, scale: str, trials: int, rounds: int) -> dict:
     n_pages = None
     for _round in range(rounds):  # interleave levels vs drifting load
         for cores in (hi, lo):
-            r = run_level(cores, sf_dir, trials)
+            r = run_level(cores, sf_dir, trials, repeat)
             n_pages = r["n_pages"]
             best[cores] = r["sec"] if best[cores] is None else min(best[cores], r["sec"])
     ratio = best[lo] / best[hi]
@@ -217,6 +222,13 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--rung", type=int, nargs=2, default=None)
     ap.add_argument("--scale", default=None)
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="spatial_core passes per timed region (longer job: fixed "
+        "costs like job submit / AQE planning shrink relative to work)",
+    )
     args = ap.parse_args()
 
     if args.rung:
@@ -225,7 +237,8 @@ def main() -> None:
         ladder = LADDER
     rungs = []
     for lo, hi, scale in ladder:
-        r = run_rung(lo, hi, scale, args.trials, args.rounds)
+        r = run_rung(lo, hi, scale, args.trials, args.rounds, args.repeat)
+        r["repeat"] = args.repeat
         print(json.dumps(r))
         rungs.append(r)
     if not args.rung:

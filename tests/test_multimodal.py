@@ -19,7 +19,7 @@ from fgcspark import multimodal as mm
 
 @pytest.fixture(scope="module")
 def pages(spark, pages_dir):
-    return spark.read.parquet(f"{pages_dir}/pages.parquet")
+    return spark.read.parquet(f"{pages_dir}/media.parquet")
 
 
 def _expected_from_url(url: str):

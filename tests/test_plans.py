@@ -84,7 +84,7 @@ def test_media_metadata_stays_jvm_side(spark, pages_dir):
     Python evaluation node may appear in its plan."""
     from fgcspark.multimodal import media_metadata
 
-    plan = plan_of(media_metadata(spark.read.parquet(f"{pages_dir}/pages.parquet")))
+    plan = plan_of(media_metadata(spark.read.parquet(f"{pages_dir}/media.parquet")))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
