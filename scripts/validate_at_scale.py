@@ -442,6 +442,36 @@ def check_hotspots(spark, d: str) -> dict:
     return {"rows": len(eng | want), "mismatch": len(eng ^ want)}
 
 
+def check_media(spark, d: str) -> dict:
+    """media_metadata at scale: the Catalyst hex-arithmetic header
+    parse vs the generated DuckDB-SQL parser (media_header_sql) —
+    exact set equality of (url, n_bytes, fmt, width, height, channels,
+    fp) over real PNG/GIF/JPEG headers plus the malformed branch. A
+    third derivation (the Python byte-walk in decode_image_stub) is
+    pinned to the Catalyst parse in tests/test_multimodal.py."""
+    import duckdb
+
+    from fgcspark.multimodal import HEX_WINDOW, media_header_sql, media_metadata
+
+    eng = {
+        (r.url, r.n_bytes, r.fmt, r.width, r.height, r.channels, r.fp)
+        for r in media_metadata(spark.read.parquet(f"{d}/media.parquet")).collect()
+    }
+    hsrc = (
+        "hsrc AS (SELECT url, CAST(octet_length(media) AS BIGINT) AS n_bytes, "
+        f"substring(upper(hex(media)), 1, {2 * HEX_WINDOW}) AS hx, "
+        "try_cast(concat('0x', substring(md5(upper(hex(media))), 1, 14)) AS BIGINT) AS fp "
+        f"FROM read_parquet('{d}/media.parquet'))"
+    )
+    want = set(
+        duckdb.execute(
+            f"WITH {hsrc},\n{media_header_sql()}\n"
+            "SELECT url, n_bytes, fmt, width, height, channels, fp FROM hdr"
+        ).fetchall()
+    )
+    return {"rows": len(eng | want), "mismatch": len(eng ^ want)}
+
+
 CHECKS = {
     "text": check_text,
     "tiles": check_tiles,
@@ -454,6 +484,7 @@ CHECKS = {
     "quadkey": check_quadkey,
     "fusion": check_fusion,
     "hotspots": check_hotspots,
+    "media": check_media,
 }
 
 
