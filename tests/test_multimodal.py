@@ -107,6 +107,75 @@ def test_truncated_and_malformed_blobs_yield_null(spark):
         ), u
 
 
+def test_header_parsers_roundtrip_randomized(spark):
+    """Property: randomized VALID headers (dims, channels, JPEG segment
+    chains of varying shape — multiple APPn + COM segments with
+    FF-laden payloads before SOF) round-trip through the Catalyst
+    parser exactly. Built directly here, NOT via synth._media_blob, so
+    the test covers layouts the corpus generator never emits."""
+    import random
+    import zlib
+
+    rng = random.Random(11)
+    rows = []
+    want = {}
+    for i in range(120):
+        w = rng.randint(1, 65535)
+        h = rng.randint(1, 65535)
+        kind = i % 3
+        url = f"u{i}"
+        if kind == 0:  # PNG, all five color types
+            ct = rng.choice([0, 2, 3, 4, 6])
+            ihdr = (
+                w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ct, 0, 0, 0])
+            )
+            blob = (
+                b"\x89PNG\r\n\x1a\n"
+                + (13).to_bytes(4, "big")
+                + b"IHDR"
+                + ihdr
+                + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+            )
+            want[url] = ("png", w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct])
+        elif kind == 1:  # GIF87a or 89a
+            ver = rng.choice([b"7a", b"9a"])
+            blob = (
+                b"GIF8" + ver
+                + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + bytes([0xF7, 0, 0])
+            )
+            want[url] = ("gif", w, h, 3)
+        else:  # JPEG: 0-4 pre-SOF segments, FF bytes inside payloads
+            nseg = rng.randint(0, 4)
+            body = b"\xff\xd8"
+            budget = 96 - 2 - 10 - nseg * 4  # room for SOF within window
+            for _ in range(nseg):
+                dl = rng.randint(0, max(0, min(12, budget)))
+                budget -= dl
+                marker = rng.choice([0xE0, 0xE1, 0xEE, 0xFE])
+                payload = bytes(rng.randint(0, 255) for _ in range(dl))
+                body += bytes([0xFF, marker]) + (dl + 2).to_bytes(2, "big") + payload
+            nc = rng.choice([1, 3])
+            sof_kind = rng.choice([0xC0, 0xC1, 0xC2])
+            sof_data = (
+                bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([nc]) + bytes([1, 0x11, 0]) * nc
+            )
+            blob = body + bytes([0xFF, sof_kind]) + (len(sof_data) + 2).to_bytes(
+                2, "big"
+            ) + sof_data
+            want[url] = ("jpeg", w, h, nc)
+        rows.append((url, blob))
+        # the Python twin agrees row by row
+        assert mm._parse_header(blob) == want[url], url
+    df = spark.createDataFrame(rows, "url string, media binary")
+    got = {
+        r["url"]: (r["fmt"], r["width"], r["height"], r["channels"])
+        for r in mm.media_metadata(df).collect()
+    }
+    assert got == want
+
+
 def test_decode_matches_metadata(spark, pages):
     """The JVM Catalyst parser and the Python byte-walk parser are
     independent implementations and must agree exactly."""
