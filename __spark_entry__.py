@@ -884,9 +884,12 @@ def _t(spark, sf_dir, name):
     # a cluster a 100 TB table has orders more row groups than cores
     # and this branch never fires). An explicit repartition(N) is
     # honoured by AQE (user-specified), so it won't be coalesced away.
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # the probe itself costs a DataFrame->RDD plan conversion, so it is
+    # gated to local masters — a cluster session never pays it
+    if spark.sparkContext.master.startswith("local"):
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 
