@@ -759,6 +759,57 @@ def _q_streamed_dedup(spark, sf_dir):
     return spark.read.parquet(out).select("fp")
 
 
+def _q_streamed_decontaminate(spark, sf_dir):
+    """Streaming decontamination (stream-static broadcast shingle join
+    + watermarked per-(day-window, doc) hit counts, AvailableNow
+    drain): documents with doc_id % 97 == 0 play the static eval
+    benchmark; the rest stream in with ts = 2021-06-08 + doc_id*37 s.
+    A far-future heartbeat (sentinel shingle, id dropped from the
+    output) seals every real window — see the module docstring for why
+    the heartbeat must itself produce a shingle."""
+    import pathlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fgcspark.streaming.decontaminate import streaming_decontaminate
+
+    d = _geo_dir(sf_dir)
+    stage, out, ck = f"{d}/_decon_in", f"{d}/_decon_out", f"{d}/_decon_ck"
+    pathlib.Path(stage).mkdir(parents=True, exist_ok=True)
+    dst = pathlib.Path(stage) / "aa-docs.parquet"
+    if not dst.exists():
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        df = t.to_pandas()
+        df = df[df["doc_id"] % 97 != 0]
+        df["ts"] = (
+            pd.Timestamp("2021-06-08")
+            + pd.to_timedelta(df["doc_id"] * 37, unit="s")
+        ).astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(df[["doc_id", "ts", "text"]], preserve_index=False),
+            dst,
+        )
+    hb_path = pathlib.Path(stage) / "zz-heartbeat.parquet"
+    if not hb_path.exists():
+        hb = pd.DataFrame(
+            {
+                "doc_id": pd.array([10**12], dtype="int64"),
+                "ts": pd.array([pd.Timestamp("2100-01-01")]).astype("datetime64[us]"),
+                "text": ["\x01hb \x01hb \x01hb"],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(hb, preserve_index=False), hb_path)
+    eval_docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
+    streaming_decontaminate(spark, stage, eval_docs, out, ck, n=3)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("doc_id") != 10**12)
+        .select("window_start", "doc_id", "n_hits")
+    )
+
+
 def _q_raster_tiles(spark, sf_dir):
     """Raster<->vector tile aggregation (north_rule): per 100 km cell,
     the dense 10x10 raster of 10 km sub-cell counts, emitted in long
@@ -1482,16 +1533,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Everything past slot 50 is still verified each round by the local gate
     (``scripts/check_contract.py`` runs ALL entries through the same
-    DuckDB-oracle diff).  With 103 queries and a 50-row cap, 12 of the 53
-    past-window entries deserve a note: nine are r3-driver-green,
+    DuckDB-oracle diff).  With 104 queries and a 50-row cap, 13 of the 54
+    past-window entries deserve a note: ten are r3-driver-green,
     code-unchanged twins whose kernel is exercised by an in-window sibling
-    (pip_counts / knn_k5_partitioned / dwithin_join_partitioned /
-    tile_counts_10km_salted / s2_cell_counts_l10 / geohash_counts_p5 /
-    hex_cell_counts / raster_roundtrip_100km / lineitem_agg), and three
-    (dbscan_cells, host_linkgraph, host_pagerank) are r4-driver-green with
-    unchanged engine code whose ORACLES were made scale-robust in r5 —
-    the local gate re-validated the new oracles against the unchanged
-    engine output.
+    (facts_pivot / pip_counts / knn_k5_partitioned /
+    dwithin_join_partitioned / tile_counts_10km_salted /
+    s2_cell_counts_l10 / geohash_counts_p5 / hex_cell_counts /
+    raster_roundtrip_100km / lineitem_agg), and three (dbscan_cells,
+    host_linkgraph, host_pagerank) are r4-driver-green with unchanged
+    engine code whose ORACLES were made scale-robust in r5 — the local
+    gate re-validated the new oracles against the unchanged engine
+    output.
     """
     return {
         # --- slots 1-5: never driver-checked (late-r4 additions) ---
@@ -1502,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_hulls": _q_layer_hulls,
         # --- slots 6-14: new in r5, or r5 behavior-changing code ---
         "streamed_dedup": _q_streamed_dedup,
+        "streamed_decontaminate": _q_streamed_decontaminate,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "media_metadata": _q_media_meta,
@@ -1513,7 +1566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 15-50: the r4 trailing block (no r4 driver row) ---
         "occ_archive_load": _q_occ_archive_load,
         "occ_facts_join": _q_occ_facts_join,
-        "facts_pivot": _q_facts_pivot,
         "chunked_resume": _q_chunked_resume,
         "chunk_window": _q_chunk_window,
         "pages_extract_text": _q_extract,
@@ -1549,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         # --- slots 51+: locally gated each round; r3- or r4-driver-green
         # with unchanged engine code (see docstring for the 12 notes) ---
+        "facts_pivot": _q_facts_pivot,
         "pip_counts": _q_pip_counts,
         "knn_k5_partitioned": _q_knn_partitioned,
         "dwithin_join_partitioned": _q_dwithin_partitioned,
@@ -2333,6 +2386,25 @@ def oracle_sql() -> dict[str, str]:
         FROM sh JOIN ev USING (shingle)
         WHERE doc_id % 97 <> 0
         GROUP BY 1
+    """
+    # streaming twin: same trigram scan, finalized per event-time day
+    # window (ts = 2021-06-08 + doc_id*37 s, the staged stream's clock)
+    sql["streamed_decontaminate"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM toks JOIN range(1, 4096) r(i) ON i <= len(t) - 2
+            WHERE len(array_to_string(t[i:i+2], ' ')) > 0
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+        )
+        SELECT CAST(date_trunc('day', TIMESTAMP '2021-06-08 00:00:00'
+                   + doc_id * INTERVAL 37 SECOND) AS TIMESTAMP) AS window_start,
+               doc_id, count(*) AS n_hits
+        FROM sh JOIN ev USING (shingle)
+        WHERE doc_id % 97 <> 0
+        GROUP BY 1, 2
     """
     _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     _PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -43,7 +43,7 @@ def md5_56(col):
 
 
 def _with_shingle_arr(
-    df: DataFrame, n: int, id_col: str, text_col: str
+    df: DataFrame, n: int, id_col: str, text_col: str, keep: tuple = ()
 ) -> DataFrame:
     """(id, sh_arr): distinct word n-gram shingles as one array column.
 
@@ -55,7 +55,11 @@ def _with_shingle_arr(
     string work; measured 5x slower on the sf0.1 documents table.
     CollapseProject keeps the stages separate (the alias is referenced
     from multiple positions and split is non-cheap)."""
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
     # docs shorter than n tokens have NO shingles: guard explicitly,
     # because sequence(1, 0) is a DESCENDING [1, 0] in Spark and the
     # i=0 slice start is an error (not an empty slice).
@@ -65,13 +69,25 @@ def _with_shingle_arr(
         f" i -> array_join(slice(__toks, i, {n}), ' ')),"
         " s -> length(s) > 0) end"
     )
-    return toks.select(F.col(id_col), F.array_distinct(sh).alias("sh_arr"))
+    return toks.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.array_distinct(sh).alias("sh_arr"),
+    )
 
 
-def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    return _with_shingle_arr(df, n, id_col, text_col).select(
-        F.col(id_col), F.explode("sh_arr").alias("shingle")
+def shingles(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple = (),
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, *keep,
+    shingle). `keep` carries extra columns through (e.g. the event-time
+    column for the streaming twin)."""
+    return _with_shingle_arr(df, n, id_col, text_col, keep).select(
+        F.col(id_col), *[F.col(c) for c in keep], F.explode("sh_arr").alias("shingle")
     )
 
 
